@@ -1,0 +1,337 @@
+"""WavJEPA: Joint-Embedding Predictive Architecture over raw waveforms.
+
+TPU-native re-design of the reference JEPA LightningModule
+(/root/reference/wavjepa/jepa.py:24-467). Functional capabilities match —
+conv frontend → LayerNorm → 512→768 mapper → fixed 1-D sin-cos positions →
+12-layer post-norm ViT context encoder → 768→384 → 12-layer predictor over a
+mask-token-filled sequence repeated per target group → 384→768 → MSE against
+instance-normed top-k-layer-averaged EMA-teacher targets — but the dataflow
+is re-shaped for XLA:
+
+  * **No dynamic shapes.** The reference gathers the variable-length visible
+    token set (``contextual_features[~ctx_masks]``, jepa.py:399) and scatters
+    it back into the mask-token canvas (jepa.py:427). Gather-then-scatter to
+    the *same* positions is an identity on visible positions, so here the
+    decoder input is a single ``where``: masked → mask_token, visible →
+    enc→dec projection of the encoder output. Bit-equivalent, zero dynamic
+    shapes, and XLA fuses the select into the surrounding matmuls.
+  * **Masked attention instead of shrunken sequences.** The context encoder
+    always runs on all `total_patches` tokens with an additive key-padding
+    bias; masked positions never contribute as keys, and their (unused)
+    query outputs are overwritten by the decoder `where`.
+  * **Teacher = params, not a module copy.** The EMA teacher is the same
+    encoder applied with a second parameter tree; the update is a pure
+    `tree_map` in f32 inside the train step (see train/step.py).
+  * bf16 activations on the MXU, f32 norms/softmax/loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from wavjepa_tpu.ops.conv_frontend import (
+    ConvChannelFeatureExtractor,
+    ConvFeatureExtractor,
+    ConvSpec,
+    WAVJEPA_CONV_SPEC,
+    conv_output_length,
+)
+from wavjepa_tpu.ops.pos_embed import (
+    get_1d_sincos_pos_embed_from_grid,
+    get_binaural_pos_embed,
+)
+from wavjepa_tpu.ops.transformer import LayerNorm32, TransformerEncoder
+
+
+def trunc_normal_init(std: float = 0.02):
+    """Truncated-normal (±2σ) init used for all Linear weights and the mask
+    token in the reference (functions.py trunc_normal_, jepa.py:150-161)."""
+
+    def init(key, shape, dtype):
+        return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+    return lambda key, shape, dtype: init(key, shape, dtype).astype(dtype)
+
+
+@dataclasses.dataclass(frozen=True)
+class JEPAConfig:
+    """Static model configuration (mirrors the reference's Hydra groups
+    extractor/trainer + TransformerLayerCFG defaults, wavjepa_configs.py:28-63)."""
+
+    # frontend
+    conv_spec: ConvSpec = WAVJEPA_CONV_SPEC
+    in_channels: int = 1
+    extractor: str = "conv"  # "conv" | "conv_channel"
+    extractor_mode: str = "default"  # "default" | "layer_norm"
+    conv_bias: bool = False
+    share_weights_over_channels: bool = False
+    # encoder / decoder (TransformerLayerCFG.create defaults)
+    encoder_layers: int = 12
+    encoder_dim: int = 768
+    encoder_heads: int = 12
+    decoder_layers: int = 12
+    decoder_dim: int = 384
+    decoder_heads: int = 12
+    mlp_ratio: float = 4.0
+    layer_norm_eps: float = 1e-6
+    size: str = "base"  # "large" rewrites encoder to 24L/1024d/16h (jepa.py:114-118)
+    # input contract
+    sample_rate: int = 16000
+    process_seconds: float = 2.01
+    # teacher
+    average_top_k_layers: int = 8
+    # positions: "time" (1-D sincos over all tokens) | "binaural"
+    pos_embed: str = "time"
+    # precision
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    def __post_init__(self):
+        if self.size == "large":
+            object.__setattr__(self, "encoder_layers", 24)
+            object.__setattr__(self, "encoder_dim", 1024)
+            object.__setattr__(self, "encoder_heads", 16)
+
+    @property
+    def target_length(self) -> int:
+        return int(self.sample_rate * self.process_seconds)
+
+    @property
+    def frames_per_window(self) -> int:
+        return conv_output_length(self.target_length, self.conv_spec)
+
+    @property
+    def total_patches(self) -> int:
+        n = self.frames_per_window
+        if self.extractor == "conv_channel":
+            n *= self.in_channels
+        return n
+
+    @property
+    def embedding_dim(self) -> int:
+        return self.conv_spec[-1][0]
+
+    def pos_table(self, dim: int) -> np.ndarray:
+        if self.pos_embed == "binaural":
+            table = get_binaural_pos_embed(dim, self.frames_per_window)
+        else:
+            table = get_1d_sincos_pos_embed_from_grid(
+                dim, np.arange(self.total_patches, dtype=np.float64)
+            )
+        return table.astype(np.float32)[None]  # (1, T, dim)
+
+
+class JEPA(nn.Module):
+    """The JEPA model as a flax module.
+
+    Methods:
+      encode_features     waveform → positioned local features (B, T, D_enc)
+      student_forward     full masked-prediction pass → preds ((B·N), T, D_enc)
+      teacher_forward     local features → top-k-averaged targets (B, T, D_enc)
+                          (call with the EMA parameter tree)
+      represent           inference: features → context-encoder output
+      __call__            init-convenience: runs every submodule once
+    """
+
+    config: JEPAConfig
+
+    def setup(self):
+        cfg = self.config
+        if cfg.extractor == "conv_channel":
+            self.extract_audio = ConvChannelFeatureExtractor(
+                conv_spec=cfg.conv_spec,
+                in_channels=cfg.in_channels,
+                mode=cfg.extractor_mode,
+                conv_bias=cfg.conv_bias,
+                share_weights=cfg.share_weights_over_channels,
+                dtype=cfg.dtype,
+            )
+        else:
+            self.extract_audio = ConvFeatureExtractor(
+                conv_spec=cfg.conv_spec,
+                in_channels=cfg.in_channels,
+                mode=cfg.extractor_mode,
+                conv_bias=cfg.conv_bias,
+                dtype=cfg.dtype,
+            )
+        # reference: nn.LayerNorm(extract_audio.embedding_dim), default eps 1e-5
+        self.feature_norms = LayerNorm32(eps=1e-5, dtype=cfg.dtype, name="feature_norms")
+        self.post_extraction_mapper = (
+            nn.Dense(
+                cfg.encoder_dim,
+                kernel_init=trunc_normal_init(0.02),
+                dtype=cfg.dtype,
+                name="post_extraction_mapper",
+            )
+            if cfg.embedding_dim != cfg.encoder_dim
+            else None
+        )
+        mlp = lambda d: int(d * cfg.mlp_ratio)
+        self.encoder = TransformerEncoder(
+            num_layers=cfg.encoder_layers,
+            embed_dim=cfg.encoder_dim,
+            num_heads=cfg.encoder_heads,
+            mlp_dim=mlp(cfg.encoder_dim),
+            layer_norm_eps=cfg.layer_norm_eps,
+            dtype=cfg.dtype,
+            remat=cfg.remat,
+            name="encoder",
+        )
+        self.decoder = TransformerEncoder(
+            num_layers=cfg.decoder_layers,
+            embed_dim=cfg.decoder_dim,
+            num_heads=cfg.decoder_heads,
+            mlp_dim=mlp(cfg.decoder_dim),
+            layer_norm_eps=cfg.layer_norm_eps,
+            dtype=cfg.dtype,
+            remat=cfg.remat,
+            name="decoder",
+        )
+        self.encoder_to_decoder_mapper = nn.Dense(
+            cfg.decoder_dim,
+            kernel_init=trunc_normal_init(0.02),
+            dtype=cfg.dtype,
+            name="encoder_to_decoder_mapper",
+        )
+        self.decoder_to_encoder_mapper = nn.Dense(
+            cfg.encoder_dim,
+            kernel_init=trunc_normal_init(0.02),
+            dtype=cfg.dtype,
+            name="decoder_to_encoder_mapper",
+        )
+        # reference initializes the mask token N(0, 0.02) (jepa.py:135-138)
+        self.mask_token = self.param(
+            "mask_token",
+            lambda key, shape, dtype: 0.02
+            * jax.random.normal(key, shape, jnp.float32).astype(dtype),
+            (1, 1, cfg.decoder_dim),
+            jnp.float32,
+        )
+        # fixed (non-trainable) sin-cos tables, baked in as constants
+        self.pos_encoding_encoder = jnp.asarray(self.config.pos_table(cfg.encoder_dim))
+        self.pos_encoding_decoder = jnp.asarray(self.config.pos_table(cfg.decoder_dim))
+
+    # ---------------------------------------------------------------- features
+
+    def encode_features(self, audio: jax.Array) -> jax.Array:
+        """(B, C, T_samples) → (B, total_patches, D_enc) positioned features.
+
+        Reference forward lines jepa.py:391-396.
+        """
+        x = self.extract_audio(audio)
+        x = self.feature_norms(x)
+        if self.post_extraction_mapper is not None:
+            x = self.post_extraction_mapper(x)
+        return x + self.pos_encoding_encoder.astype(x.dtype)
+
+    # ---------------------------------------------------------------- student
+
+    def student_forward(
+        self,
+        local_features: jax.Array,
+        ctx_mask: jax.Array,
+        ctx_and_target_mask: jax.Array,
+    ) -> jax.Array:
+        """Masked-prediction pass.
+
+        Args:
+            local_features: (B, T, D_enc) positioned features.
+            ctx_mask: (B, T) bool, True = NOT part of the context.
+            ctx_and_target_mask: (B, N, T) bool, True = visible to the
+                predictor for that target group (context ∪ that group's
+                targets) — note the reference passes this as
+                src_key_padding_mask where True = *masked*, built by XOR at
+                masking.py:116; we follow the same convention: True = masked.
+
+        Returns:
+            preds: (B, N, T, D_enc) predictor outputs in encoder space.
+        """
+        b, t, _ = local_features.shape
+        n = ctx_and_target_mask.shape[1]
+        enc_out = self.encoder(local_features, key_padding_mask=ctx_mask)
+        projected = self.encoder_to_decoder_mapper(enc_out)  # (B, T, D_dec)
+        mask_tok = self.mask_token.astype(projected.dtype)
+        # scatter-equivalent select (see module docstring)
+        dec_in = jnp.where(ctx_mask[..., None], mask_tok, projected)
+        dec_in = dec_in + self.pos_encoding_decoder.astype(dec_in.dtype)
+        # repeat per target group, absorb into batch (jepa.py:432-435)
+        dec_in = jnp.broadcast_to(dec_in[:, None], (b, n, t, dec_in.shape[-1]))
+        dec_in = dec_in.reshape(b * n, t, dec_in.shape[-1])
+        kpm = ctx_and_target_mask.reshape(b * n, t)
+        dec_out = self.decoder(dec_in, key_padding_mask=kpm)
+        preds = self.decoder_to_encoder_mapper(dec_out)
+        return preds.reshape(b, n, t, -1)
+
+    # ---------------------------------------------------------------- teacher
+
+    def teacher_forward(self, local_features: jax.Array) -> jax.Array:
+        """Targets from the (EMA) encoder: average of the last k layer
+        outputs, each instance-normed before averaging.
+
+        Matches reference `_forward_teacher` + `_make_targets`
+        (jepa.py:230-270): raw layer iteration (no final norm, no padding
+        mask); F.instance_norm applied to the (L, B, D, T) stack, i.e. stats
+        per (layer, sample) over BOTH features and time.
+        """
+        k = self.config.average_top_k_layers
+        outs = self.encoder.layer_outputs(local_features)[-k:]
+        if k <= 1:
+            return outs[-1]
+        stacked = jnp.stack(outs).astype(jnp.float32)  # (k, B, T, D)
+        mean = jnp.mean(stacked, axis=(2, 3), keepdims=True)
+        var = jnp.var(stacked, axis=(2, 3), keepdims=True)
+        normed = (stacked - mean) * jax.lax.rsqrt(var + 1e-5)
+        return jnp.mean(normed, axis=0)  # (B, T, D)
+
+    # ---------------------------------------------------------------- inference
+
+    def represent(
+        self, audio: jax.Array, padding_mask: Optional[jax.Array] = None
+    ) -> jax.Array:
+        """Inference representation (reference get_audio_representation,
+        jepa.py:456-467): features → context encoder with optional padding
+        mask → (B, T, D_enc)."""
+        feats = self.encode_features(audio)
+        return self.encoder(feats, key_padding_mask=padding_mask)
+
+    # ---------------------------------------------------------------- init path
+
+    def __call__(
+        self,
+        audio: jax.Array,
+        ctx_mask: Optional[jax.Array] = None,
+        ctx_and_target_mask: Optional[jax.Array] = None,
+    ):
+        """Runs every submodule once so `.init` creates all params."""
+        feats = self.encode_features(audio)
+        b, t, _ = feats.shape
+        if ctx_mask is None:
+            ctx_mask = jnp.zeros((b, t), bool)
+        if ctx_and_target_mask is None:
+            ctx_and_target_mask = jnp.zeros((b, 1, t), bool)
+        preds = self.student_forward(feats, ctx_mask, ctx_and_target_mask)
+        targets = self.teacher_forward(feats)
+        return preds, targets
+
+
+def masked_prediction_loss(
+    preds: jax.Array, targets: jax.Array, target_indices: jax.Array
+) -> jax.Array:
+    """Mean-squared error over target positions only.
+
+    preds: (B, N, T, D); targets: (B, T, D); target_indices: (B, N, T) bool.
+    Matches reference masked_loss (jepa.py:335-362): per-timestep MSE mean
+    over D, weighted by the target mask, normalized by the mask count.
+    Computed in f32 regardless of activation dtype.
+    """
+    preds = preds.astype(jnp.float32)
+    targets = targets.astype(jnp.float32)[:, None]  # (B, 1, T, D)
+    per_t = jnp.mean(jnp.square(preds - targets), axis=-1)  # (B, N, T)
+    w = target_indices.astype(jnp.float32)
+    return jnp.sum(per_t * w) / (jnp.sum(w) + 1e-8)

@@ -1,0 +1,232 @@
+"""Transformer encoder stack (flax.linen), numerics-compatible with the
+reference's PyTorch post-norm ``nn.TransformerEncoderLayer`` /
+``nn.TransformerEncoder`` (used at /root/reference/wavjepa/jepa.py:126-130 with
+batch_first=True, norm_first=False, GELU(exact), eps=1e-6, dropout=0).
+
+Design notes (TPU-first):
+  * Static shapes: per-sample key-padding masks are additive bias tensors, so
+    varying context sets never change tensor shapes.
+  * Mixed precision follows flax convention: params stay ``param_dtype``
+    (f32), compute runs in ``dtype`` (bf16 on TPU) with f32 LayerNorm and f32
+    softmax for stability; matmuls accumulate in f32 on the MXU via
+    ``preferred_element_type``.
+  * Attention is one fused einsum pair at seq-len 200; a Pallas
+    flash-attention kernel can be slotted in via ``attn_impl='pallas'`` once
+    sequences grow (the full 200x200 score tile already fits VMEM).
+  * QKV projections are stored packed — one (D, 3D) matmul — mirroring
+    torch's ``in_proj_weight`` packing, which both maximizes MXU utilization
+    and makes checkpoint conversion a transpose.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Multi-head attention core. q,k,v: (B, H, T, hd). bias: broadcastable
+    to (B, H, T, T), added to logits (use -inf/large-negative to mask keys).
+
+    Softmax runs in f32; the two matmuls accumulate in f32 on the MXU.
+    """
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(head_dim).astype(q.dtype)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
+    )
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(dtype)
+
+
+def key_padding_bias(
+    key_padding_mask: jax.Array, dtype: jnp.dtype = jnp.float32
+) -> jax.Array:
+    """(B, T) bool mask (True = ignore that key) → (B, 1, 1, T) additive bias.
+
+    Uses the f32 minimum like torch's masked_fill(-inf) path but finite, so a
+    fully-masked row yields uniform weights instead of NaN (training never
+    produces fully-masked rows; inference padding rows are discarded).
+    """
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=dtype)
+    return jnp.where(key_padding_mask[:, None, None, :], neg, jnp.zeros((), dtype))
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """Packed-QKV multi-head self-attention matching torch MHA numerics."""
+
+    embed_dim: int
+    num_heads: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
+        d, h = self.embed_dim, self.num_heads
+        head_dim = d // h
+        qkv = nn.Dense(
+            3 * d,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="in_proj",
+        )(x)
+        b, t, _ = qkv.shape
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
+        out = dot_product_attention(q, k, v, bias=bias, dtype=self.dtype)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+        return nn.Dense(
+            d,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="out_proj",
+        )(out)
+
+
+class LayerNorm32(nn.Module):
+    """LayerNorm computed in f32 regardless of activation dtype (eps 1e-6 to
+    match the reference's TransformerLayerCFG, wavjepa_configs.py:38)."""
+
+    eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), self.param_dtype)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(orig_dtype if self.dtype is None else self.dtype)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-norm block: x = LN1(x + SA(x)); x = LN2(x + MLP(x)).
+
+    Exact-GELU MLP, matching torch's ``activation=nn.GELU()`` default
+    (approximate='none').
+    """
+
+    embed_dim: int
+    num_heads: int
+    mlp_dim: int
+    layer_norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
+        attn = MultiHeadSelfAttention(
+            self.embed_dim,
+            self.num_heads,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="self_attn",
+        )(x, bias=bias)
+        x = LayerNorm32(
+            eps=self.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="norm1",
+        )(x + attn)
+        h = nn.Dense(
+            self.mlp_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear1"
+        )(x)
+        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(self.dtype)
+        h = nn.Dense(
+            self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear2"
+        )(h)
+        x = LayerNorm32(
+            eps=self.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="norm2",
+        )(x + h)
+        return x
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of post-norm layers + final LayerNorm (torch ``norm=`` argument).
+
+    ``__call__`` returns the normed output; ``layer_outputs`` additionally
+    returns every layer's (pre-final-norm) output, which the JEPA teacher
+    averages over its top-k layers (reference jepa.py:255-270 iterates raw
+    layers and never applies the final norm nor the padding mask).
+    """
+
+    num_layers: int
+    embed_dim: int
+    num_heads: int
+    mlp_dim: int
+    layer_norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        layer = TransformerEncoderLayer
+        if self.remat:
+            layer = nn.remat(TransformerEncoderLayer)
+        self.layers = [
+            layer(
+                self.embed_dim,
+                self.num_heads,
+                self.mlp_dim,
+                layer_norm_eps=self.layer_norm_eps,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name=f"layers_{i}",
+            )
+            for i in range(self.num_layers)
+        ]
+        self.norm = LayerNorm32(
+            eps=self.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="norm",
+        )
+
+    def __call__(
+        self,
+        x: jax.Array,
+        key_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        bias = (
+            key_padding_bias(key_padding_mask, dtype=jnp.float32)
+            if key_padding_mask is not None
+            else None
+        )
+        for layer in self.layers:
+            x = layer(x, bias=bias)
+        return self.norm(x)
+
+    def layer_outputs(
+        self,
+        x: jax.Array,
+        key_padding_mask: Optional[jax.Array] = None,
+    ) -> list[jax.Array]:
+        """All per-layer outputs (no final norm), for teacher target making."""
+        bias = (
+            key_padding_bias(key_padding_mask, dtype=jnp.float32)
+            if key_padding_mask is not None
+            else None
+        )
+        outs = []
+        for layer in self.layers:
+            x = layer(x, bias=bias)
+            outs.append(x)
+        return outs
