@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Pretrain-throughput benchmark: clips/sec/chip on the AudioSet SSL config.
+
+Runs the full fused JEPA train step (WavJEPA base, 111 M params: crop gather
++ instance norm + on-device masking + conv frontend + 12L/768 encoder +
+12L/384 predictor + EMA teacher + AdamW) at the reference's per-GPU batch
+(32 clips × 8 crops = 256 crops/step — /root/reference/train.py:209-216) on
+synthetic 10-s clips, and prints ONE JSON line.
+
+vs_baseline derivation: the reference publishes no throughput (BASELINE.md).
+Its training budget is 375 000 steps × 32 clips/step/GPU within a ≤66 h
+SLURM walltime on H100s (train.sh), i.e. ≥50.5 clips/sec/GPU if the full
+walltime is used — we take that as the baseline clips/sec/chip estimate.
+"""
+
+import json
+import time
+
+BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wavjepa_tpu.models.jepa import JEPA, JEPAConfig
+    from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch
+    from wavjepa_tpu.train.state import TrainState
+    from wavjepa_tpu.train.step import (
+        OptimizerConfig,
+        make_jepa_train_step,
+        make_optimizer,
+    )
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh(n_chips)
+    batch_clips = 32 * n_chips  # reference per-GPU clip batch, scaled
+    n_crops = 8
+
+    cfg = JEPAConfig(dtype=jnp.bfloat16)
+    model = JEPA(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, cfg.target_length))
+    )["params"]
+    tx, sched = make_optimizer(OptimizerConfig())
+    state = TrainState.create(params, tx)
+    step = make_jepa_train_step(model, tx, sched, nr_samples_per_audio=n_crops)
+
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal((batch_clips, 1, 160000)).astype(np.float32)
+    audio = shard_batch(mesh, jnp.asarray(audio))
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup
+    state, metrics = step(state, audio, key)
+    jax.block_until_ready(metrics["loss"])
+    for _ in range(2):
+        state, metrics = step(state, audio, key)
+    jax.block_until_ready(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, audio, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    clips_per_sec = batch_clips * iters / dt
+    value = clips_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "pretrain_clips_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(value / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

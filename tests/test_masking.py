@@ -1,0 +1,107 @@
+"""Mask-sampler tests: statistical parity with the host (numpy/fairseq-style)
+algorithm, structural invariants, determinism under seed (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wavjepa_tpu.masking import (
+    SpeechMaskConfig,
+    TimeInverseMaskConfig,
+    filter_small_runs,
+    sample_span_mask_np,
+    sample_span_masks,
+    speech_masks,
+    time_inverse_block_masks,
+)
+
+
+class TestSpanSampler:
+    def test_statistical_parity_with_numpy(self):
+        """Masked-fraction distribution of the device sampler matches the
+        host algorithm it replaces (mean within 1%, std within 20% rel)."""
+        t, p, l, n = 200, 0.25, 10, 3000
+        jm = sample_span_masks(jax.random.PRNGKey(0), (n,), t, p, l)
+        jfrac = np.asarray(jnp.mean(jm, axis=-1), np.float64)
+        rng = np.random.default_rng(0)
+        nfrac = np.array(
+            [sample_span_mask_np(rng, t, p, l).mean() for _ in range(n)]
+        )
+        assert abs(jfrac.mean() - nfrac.mean()) < 0.01
+        assert abs(jfrac.std() - nfrac.std()) / nfrac.std() < 0.2
+
+    def test_span_structure(self):
+        """Every masked run is >= mask_length and starts within bounds."""
+        t, p, l = 200, 0.65, 10
+        masks = np.asarray(sample_span_masks(jax.random.PRNGKey(1), (50,), t, p, l))
+        for m in masks:
+            padded = np.concatenate([[False], m, [False]])
+            starts = np.flatnonzero(~padded[:-1] & padded[1:])
+            ends = np.flatnonzero(padded[:-1] & ~padded[1:])
+            assert ((ends - starts) >= l).all()
+
+    def test_deterministic_under_seed(self):
+        a = sample_span_masks(jax.random.PRNGKey(7), (4,), 200, 0.25, 10)
+        b = sample_span_masks(jax.random.PRNGKey(7), (4,), 200, 0.25, 10)
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+    def test_filter_small_runs(self):
+        m = jnp.asarray(
+            [1, 1, 0, 1, 1, 1, 1, 1, 0, 0, 1, 0, 1, 1, 1], dtype=bool
+        )
+        out = np.asarray(filter_small_runs(m, 3))
+        expected = np.asarray(
+            [0, 0, 0, 1, 1, 1, 1, 1, 0, 0, 0, 0, 1, 1, 1], dtype=bool
+        )
+        assert (out == expected).all()
+
+
+class TestTimeInverseMasker:
+    def test_invariants(self):
+        cfg = TimeInverseMaskConfig()
+        ctx, tgt, vis = time_inverse_block_masks(
+            jax.random.PRNGKey(0), batch_size=16, n_times=200, cfg=cfg
+        )
+        ctx, tgt, vis = map(np.asarray, (ctx, tgt, vis))
+        assert ctx.shape == (16, 200)
+        assert tgt.shape == (16, 4, 200)
+        assert vis.shape == (16, 4, 200)
+        # targets are always masked from the context
+        assert not (tgt & ~ctx[:, None, :]).any()
+        # visible = ctx XOR tgt
+        assert (vis == (ctx[:, None, :] ^ tgt)).all()
+        # ratio cutoff holds for the overwhelming majority (candidate
+        # fallback may rarely dip below, like the reference's loop never does;
+        # check mean visible context is sensible)
+        visible_ctx_ratio = (~ctx).mean(axis=-1)
+        assert (visible_ctx_ratio >= cfg.ratio_cutoff).mean() > 0.95
+        assert 0.05 < visible_ctx_ratio.mean() < 0.6
+
+    def test_channel_tiling_channel_major(self):
+        cfg = TimeInverseMaskConfig(channel_based_masking=True)
+        ctx, tgt, vis = time_inverse_block_masks(
+            jax.random.PRNGKey(3), batch_size=2, n_times=400, in_channels=2, cfg=cfg
+        )
+        ctx = np.asarray(ctx)
+        assert ctx.shape == (2, 400)
+        # channel-major: first 200 tokens == second 200 tokens
+        assert (ctx[:, :200] == ctx[:, 200:]).all()
+
+
+class TestSpeechMasker:
+    def test_invariants(self):
+        cfg = SpeechMaskConfig()
+        ctx, tgt, vis = speech_masks(
+            jax.random.PRNGKey(0), batch_size=16, n_times=200, cfg=cfg
+        )
+        ctx, tgt, vis = map(np.asarray, (ctx, tgt, vis))
+        # context visible = ~ctx; no run of visible context shorter than min
+        for m in ~ctx:
+            padded = np.concatenate([[False], m, [False]])
+            starts = np.flatnonzero(~padded[:-1] & padded[1:])
+            ends = np.flatnonzero(padded[:-1] & ~padded[1:])
+            assert ((ends - starts) >= cfg.min_context_len).all()
+        assert (vis == (ctx[:, None, :] ^ tgt)).all()
+        # targets + filtered-context never overlap in the visible mask: a
+        # target position is never context
+        assert not (tgt & ~ctx[:, None, :]).any()

@@ -1,0 +1,143 @@
+"""End-to-end train-step tests: loss decreases, EMA moves, determinism, and
+data-parallel execution over the virtual 8-device mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wavjepa_tpu.masking import TimeInverseMaskConfig
+from wavjepa_tpu.models.jepa import JEPA, JEPAConfig
+from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch
+from wavjepa_tpu.train.state import TrainState
+from wavjepa_tpu.train.step import (
+    EMAConfig,
+    OptimizerConfig,
+    make_jepa_train_step,
+    make_optimizer,
+)
+
+TINY = JEPAConfig(
+    conv_spec=((32, 10, 5), (32, 3, 2)),
+    in_channels=1,
+    encoder_layers=2,
+    encoder_dim=32,
+    encoder_heads=4,
+    decoder_layers=2,
+    decoder_dim=16,
+    decoder_heads=4,
+    sample_rate=1600,
+    process_seconds=0.201,
+    average_top_k_layers=2,
+)
+
+TINY_MASK = TimeInverseMaskConfig(
+    target_masks_per_context=2,
+    context_mask_prob=0.5,
+    context_mask_length=4,
+    target_prob=0.2,
+    target_length=4,
+    ratio_cutoff=0.1,
+)
+
+
+def build(batch=2, n_crops=2, steps_total=100):
+    model = JEPA(TINY)
+    audio = jnp.asarray(
+        np.random.default_rng(0).normal(size=(batch, 1, 3200)), jnp.float32
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, TINY.target_length))
+    )["params"]
+    opt_cfg = OptimizerConfig(lr=1e-3, warmup_steps=5, total_steps=steps_total)
+    tx, sched = make_optimizer(opt_cfg)
+    state = TrainState.create(params, tx)
+    step = make_jepa_train_step(
+        model, tx, sched,
+        nr_samples_per_audio=n_crops,
+        masker_cfg=TINY_MASK,
+        ema_cfg=EMAConfig(anneal_end_step=50),
+        donate=False,
+    )
+    return model, state, step, audio
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        _, state, step, audio = build()
+        rng = jax.random.PRNGKey(42)
+        losses = []
+        for _ in range(12):
+            state, metrics = step(state, audio, rng)
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all()
+        assert np.mean(losses[-3:]) < np.mean(losses[:3])
+
+    def test_teacher_moves_but_slower(self):
+        _, state0, step, audio = build()
+        rng = jax.random.PRNGKey(0)
+        # warmup LR is 0 at step 0 (HF cosine-with-warmup); advance first
+        for _ in range(3):
+            state0, _ = step(state0, audio, rng)
+        state1, _ = step(state0, audio, rng)
+        # teacher changed
+        t_delta = jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(
+                lambda a, b: float(jnp.abs(a - b).sum()),
+                state1.teacher_encoder,
+                state0.teacher_encoder,
+            ),
+        )
+        s_delta = jax.tree.reduce(
+            lambda a, b: a + b,
+            jax.tree.map(
+                lambda a, b: float(jnp.abs(a - b).sum()),
+                state1.params["encoder"],
+                state0.params["encoder"],
+            ),
+        )
+        assert 0 < t_delta < s_delta
+
+    def test_deterministic(self):
+        _, state, step, audio = build()
+        rng = jax.random.PRNGKey(1)
+        s1, m1 = step(state, audio, rng)
+        s2, m2 = step(state, audio, rng)
+        assert float(m1["loss"]) == float(m2["loss"])
+
+    def test_metrics_schedule(self):
+        _, state, step, audio = build()
+        rng = jax.random.PRNGKey(2)
+        _, m = step(state, audio, rng)
+        assert float(m["lr"]) == 0.0  # step 0 of warmup
+        assert 0.998 < float(m["ema_decay"]) < 1.0
+
+
+class TestDataParallel:
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+    def test_8_device_mesh(self):
+        mesh = make_mesh(8)
+        _, state, step, _ = build(batch=8)
+        audio = jnp.asarray(
+            np.random.default_rng(3).normal(size=(8, 1, 3200)), jnp.float32
+        )
+        audio = shard_batch(mesh, audio)
+        with jax.set_mesh(mesh) if hasattr(jax, "set_mesh") else mesh:
+            state, metrics = step(state, audio, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+    def test_sharded_matches_single_device(self):
+        """Same data, same key → same loss whether batch-sharded or not
+        (GSPMD is semantics-preserving)."""
+        mesh = make_mesh(8)
+        _, state, step, _ = build(batch=8)
+        audio = jnp.asarray(
+            np.random.default_rng(4).normal(size=(8, 1, 3200)), jnp.float32
+        )
+        _, m_single = step(state, audio, jax.random.PRNGKey(5))
+        _, m_shard = step(state, shard_batch(mesh, audio), jax.random.PRNGKey(5))
+        np.testing.assert_allclose(
+            float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-5
+        )

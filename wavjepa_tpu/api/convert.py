@@ -98,6 +98,70 @@ def convert_conv_frontend(
     return params
 
 
+def convert_jepa_state_dict(
+    state_dict,
+    *,
+    encoder_layers: int = 12,
+    decoder_layers: int = 12,
+    conv_layers: int = 6,
+    mode: str = "default",
+    conv_bias: bool = False,
+    channel_wise: bool = False,
+    in_channels: int = 1,
+    share_weights: bool = False,
+    with_decoder: bool = True,
+) -> tuple[dict, dict | None]:
+    """Full reference JEPA/Denoiser checkpoint → (params, teacher_encoder).
+
+    Handles both the Lightning wrapper dict (``{'state_dict': ...}``) and a
+    bare state_dict; strips torch.compile prefixes. ``teacher_encoder`` is
+    returned separately (or None if absent, e.g. Denoiser checkpoints).
+    Module names follow /root/reference/wavjepa/jepa.py:108-140.
+    """
+    if "state_dict" in state_dict and not hasattr(state_dict["state_dict"], "shape"):
+        state_dict = state_dict["state_dict"]
+    sd = strip_compile_prefixes(state_dict)
+
+    if channel_wise:
+        extractor = convert_channel_conv_frontend(
+            sd, "extract_audio.cnns", conv_layers, in_channels,
+            mode, conv_bias, share_weights,
+        )
+    else:
+        extractor = convert_conv_frontend(
+            sd, "extract_audio.cnn", conv_layers, mode, conv_bias
+        )
+
+    params: dict = {
+        "extract_audio": extractor,
+        "feature_norms": convert_layernorm(sd, "feature_norms"),
+        "encoder": convert_transformer_encoder(sd, "encoder", encoder_layers),
+    }
+    if "post_extraction_mapper.weight" in sd:
+        params["post_extraction_mapper"] = convert_linear(sd, "post_extraction_mapper")
+    if with_decoder and "decoder.norm.weight" in sd:
+        params["decoder"] = convert_transformer_encoder(sd, "decoder", decoder_layers)
+        params["encoder_to_decoder_mapper"] = convert_linear(
+            sd, "encoder_to_decoder_mapper"
+        )
+        params["decoder_to_encoder_mapper"] = convert_linear(
+            sd, "decoder_to_encoder_mapper"
+        )
+        params["mask_token"] = _np(sd["mask_token"])
+
+    teacher = None
+    if "teacher_encoder.norm.weight" in sd:
+        teacher = convert_transformer_encoder(sd, "teacher_encoder", encoder_layers)
+    return params, teacher
+
+
+def load_torch_checkpoint(path: str):
+    """Load a reference .ckpt/.pt file (requires torch, CPU map)."""
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
 def convert_channel_conv_frontend(
     state_dict, prefix: str, num_layers: int, in_channels: int,
     mode: str = "default", conv_bias: bool = False, share_weights: bool = False,

@@ -1,0 +1,207 @@
+"""HEAR 2021 API runtimes: timestamp + scene embeddings via 2.01-s chunked
+inference.
+
+Functional contract matches /root/reference/hear_api/runtime.py:38-155 and
+runtime_natjepa.py:38-165 (chunk math, padding-mask construction, timestamp
+grid, per-channel averaging for Nat), with the chunk loop re-designed for
+TPU: all windows of a batch are folded into one batched encoder call
+(B·n_chunks sequences of 200 tokens) instead of a Python loop of small
+launches — one jit per (n_chunks, batch) shape, MXU kept saturated.
+
+Entry points (HEAR module contract, hear_configs/WavJEPA.py:11-43):
+    load_model(ckpt_path, ...) -> RuntimeJEPA
+    get_timestamp_embeddings(audio, model) -> (emb, timestamps_ms)
+    get_scene_embeddings(audio, model) -> emb
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavjepa_tpu.api.feature_helper import prepare_batch
+from wavjepa_tpu.models.jepa import JEPA, JEPAConfig
+
+
+class RuntimeJEPA:
+    """Wraps a JEPA model + params for the HEAR contract."""
+
+    def __init__(
+        self,
+        config: JEPAConfig,
+        params,
+        average_channels: bool = False,
+    ):
+        self.config = config
+        self.model = JEPA(config)
+        self.params = jax.device_put(params)
+        self.sample_rate = config.sample_rate
+        self.embedding_size = config.encoder_dim
+        self.scene_embedding_size = self.embedding_size
+        self.timestamp_embedding_size = self.embedding_size
+        self.in_channels = config.in_channels
+        self.average_channels = average_channels or config.extractor == "conv_channel"
+        self.unit_frames = config.target_length
+        # per-channel output steps per window (reference runtime.py:82,
+        # runtime_natjepa.py:84-87)
+        self.output_steps = config.frames_per_window
+        self._forward = jax.jit(self._forward_impl, static_argnums=())
+
+    # ------------------------------------------------------------------ core
+
+    def _forward_impl(self, chunks: jax.Array, masks: jax.Array) -> jax.Array:
+        """chunks: (N, C, unit_frames); masks: (N, tokens) True=padding.
+        → (N, S, E) per-window embeddings (channel-averaged for Nat)."""
+        # per-window instance normalization over (C, T) — reference
+        # runtime.py:12-16 normalize()
+        mean = jnp.mean(chunks, axis=(-2, -1), keepdims=True)
+        n = chunks.shape[-1] * chunks.shape[-2]
+        var = jnp.sum(jnp.square(chunks - mean), axis=(-2, -1), keepdims=True) / max(
+            n - 1, 1
+        )
+        normed = (chunks - mean) / (jnp.sqrt(var) + 1e-5)
+        emb = self.model.apply(
+            {"params": self.params},
+            normed.astype(self.config.dtype),
+            masks,
+            method="represent",
+        ).astype(jnp.float32)
+        if self.average_channels and self.in_channels > 1:
+            n_win, _, e = emb.shape
+            emb = emb.reshape(n_win, self.in_channels, self.output_steps, e).mean(1)
+        return emb
+
+    # ------------------------------------------------------------- HEAR API
+
+    def get_timestamp_embeddings(self, audio) -> tuple[np.ndarray, np.ndarray]:
+        """audio: list of waveforms, or array (B, T)/(B, C, T).
+        → ((B, S_total, E) float32, (B, S_total) timestamps in ms)."""
+        batch = self._to_batch(audio)
+        b, c, cur_frames = batch.shape
+        input_len = cur_frames
+
+        # pad to a multiple of unit_frames; an exact multiple still gains a
+        # full pad window (reference runtime.py:108-116 pads unconditionally)
+        pad_frames = self.unit_frames - (cur_frames % self.unit_frames)
+        padded = np.pad(batch, ((0, 0), (0, 0), (0, pad_frames)))
+        n_chunks = padded.shape[-1] // self.unit_frames
+
+        # output-step padding mask (reference calculate_padding_mask,
+        # runtime.py:19-35): pad_steps at 100 steps/sec of padding
+        total_steps = self.output_steps * n_chunks
+        proc_sec = self.unit_frames // self.sample_rate  # integer, like ref
+        output_sr = int(self.output_steps / proc_sec)
+        pad_steps = int(pad_frames / self.sample_rate * output_sr)
+        cut_off = total_steps - pad_steps
+        step_mask = np.zeros((b, total_steps), bool)
+        step_mask[:, cut_off:] = True
+
+        # fold windows into the batch: (B, n, C, unit)
+        chunks = padded.reshape(b, c, n_chunks, self.unit_frames).transpose(0, 2, 1, 3)
+        chunks = chunks.reshape(b * n_chunks, c, self.unit_frames)
+        masks = step_mask.reshape(b, n_chunks, self.output_steps).reshape(
+            b * n_chunks, self.output_steps
+        )
+        if self.in_channels > 1 and self.config.extractor == "conv_channel":
+            # tile per channel, channel-major (runtime_natjepa.py:142 uses
+            # "B E -> B (C E)")
+            masks = np.tile(masks[:, None, :], (1, self.in_channels, 1)).reshape(
+                b * n_chunks, -1
+            )
+
+        emb = np.asarray(self._forward(jnp.asarray(chunks), jnp.asarray(masks)))
+        s_per = emb.shape[1]
+        emb = emb.reshape(b, n_chunks * s_per, emb.shape[-1])[:, :cut_off]
+
+        # timestamps: uniform grid over the (unpadded) input duration in ms
+        sec = input_len / self.sample_rate
+        x_len = emb.shape[1]
+        ts = (sec / x_len * 1000.0) * np.arange(x_len, dtype=np.float64)
+        return emb, np.tile(ts[None, :], (b, 1))
+
+    def get_scene_embeddings(self, audio) -> np.ndarray:
+        emb, _ = self.get_timestamp_embeddings(audio)
+        return emb.mean(axis=1)
+
+    # ---------------------------------------------------------------- helpers
+
+    def _to_batch(self, audio) -> np.ndarray:
+        if isinstance(audio, (list, tuple)):
+            return prepare_batch(audio, self.in_channels)
+        arr = np.asarray(audio, np.float32)
+        if hasattr(audio, "detach"):  # torch tensor
+            arr = audio.detach().cpu().numpy().astype(np.float32)
+        if arr.ndim == 2:
+            return prepare_batch(list(arr), self.in_channels)
+        if arr.ndim == 3:
+            return prepare_batch(list(arr), self.in_channels)
+        raise ValueError(f"unsupported audio input shape {arr.shape}")
+
+
+# ------------------------------------------------------------- module contract
+
+
+def load_model(
+    model_file_path: str = "",
+    config: Optional[JEPAConfig] = None,
+    in_channels: int = 1,
+    process_seconds: float = 2.01,
+    model_size: str = "base",
+    channel_wise: bool = False,
+) -> RuntimeJEPA:
+    """HEAR `load_model`: builds the runtime from an orbax directory, a
+    torch .ckpt (reference format, `_orig_mod`-aware), or random init when
+    no path is given."""
+    if config is None:
+        config = JEPAConfig(
+            in_channels=in_channels,
+            extractor="conv_channel" if channel_wise else "conv",
+            process_seconds=process_seconds,
+            size=model_size,
+            dtype=jnp.bfloat16,
+        )
+    model = JEPA(config)
+    if model_file_path:
+        from pathlib import Path
+
+        path = Path(model_file_path)
+        if path.is_dir():  # orbax checkpoint
+            from wavjepa_tpu.train.checkpoint import CheckpointManager
+
+            import jax.numpy as _jnp
+
+            template = model.init(
+                jax.random.PRNGKey(0),
+                _jnp.zeros((1, config.in_channels, config.target_length)),
+            )["params"]
+            mgr = CheckpointManager(path.parent if path.name.isdigit() else path)
+            restored = mgr.restore({"params": template})
+            params = restored["params"]
+        else:  # torch checkpoint
+            from wavjepa_tpu.train.checkpoint import import_torch_jepa
+
+            params, _ = import_torch_jepa(str(path), config)
+            # fill any missing (e.g. decoder-free ckpt) params from init
+            template = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, config.in_channels, config.target_length)),
+            )["params"]
+            params = {**template, **params}
+    else:
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, config.in_channels, config.target_length)),
+        )["params"]
+    return RuntimeJEPA(config, params)
+
+
+def get_timestamp_embeddings(audio, model: RuntimeJEPA):
+    return model.get_timestamp_embeddings(audio)
+
+
+def get_scene_embeddings(audio, model: RuntimeJEPA):
+    return model.get_scene_embeddings(audio)

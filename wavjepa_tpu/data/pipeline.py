@@ -1,0 +1,186 @@
+"""Host-side training input pipeline: shards → decoded, resampled,
+level-normalized 10-s clips → shuffled batches.
+
+Reference counterpart: /root/reference/data_modules/WebAudioDataModule.py
+(16 worker processes running decode → Kaiser sinc resample → RMS −14 dBFS →
+pad/trim 10 s → *mask precomputation*). Differences by design:
+
+  * masks are NOT precomputed here — they're sampled on-device inside the
+    jitted train step (wavjepa_tpu/masking), removing the reference's
+    dominant CPU cost and its mask/crop misalignment footgun;
+  * worker threads instead of processes (decode/resample are numpy/scipy
+    ops that release the GIL; no tensor pickling overhead);
+  * shard→(host, worker) assignment is deterministic
+    (data/shards.split_shards), reproducing split_by_node semantics for
+    multi-host runs;
+  * corrupt samples/shards are skipped with a warning
+    (wds.warn_and_continue equivalent).
+
+Weighted mixing of several shard lists (the reference's RandomMix) is
+supported by assigning workers to sources proportionally to
+``mixing_weights`` and drawing batch elements from a shared queue.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from wavjepa_tpu.data.decode import decode_audio
+from wavjepa_tpu.data.resample import resample_np
+from wavjepa_tpu.data.shards import (
+    expand_shard_pattern,
+    iter_shard_samples,
+    split_shards,
+)
+
+
+def preprocess_clip(
+    wav: np.ndarray, target_sr: int, target_seconds: float = 10.0,
+    target_dbfs: float = -14.0,
+) -> np.ndarray:
+    """RMS-normalize to −14 dBFS, zero-pad/trim to 10 s (reference
+    dataset_functions.pre_process)."""
+    rms = float(np.sqrt(np.mean(np.square(wav))))
+    if rms > 0:
+        wav = wav * 10.0 ** ((target_dbfs - 20.0 * np.log10(rms)) / 20.0)
+    target_len = int(target_sr * target_seconds)
+    t = wav.shape[-1]
+    if t < target_len:
+        wav = np.pad(wav, ((0, 0), (0, target_len - t)))
+    elif t > target_len:
+        wav = wav[:, :target_len]
+    return wav.astype(np.float32)
+
+
+class ShardAudioSource:
+    """Threaded sample producer over tar shards."""
+
+    def __init__(
+        self,
+        patterns: Sequence[str] | str,
+        target_sr: int = 16000,
+        target_seconds: float = 10.0,
+        mixing_weights: Optional[Sequence[float]] = None,
+        num_workers: int = 16,
+        queue_size: int = 512,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        seed: int = 0,
+    ):
+        if isinstance(patterns, str):
+            patterns = [patterns]
+        self.sources = [expand_shard_pattern(p) for p in patterns]
+        self.target_sr = target_sr
+        self.target_seconds = target_seconds
+        self.queue: queue.Queue = queue.Queue(maxsize=queue_size)
+        self._stop = threading.Event()
+        self.num_workers = max(1, num_workers)
+        self.host_id, self.num_hosts = host_id, num_hosts
+        self.seed = seed
+
+        # workers per source ∝ mixing weight (RandomMix equivalent)
+        if mixing_weights is None:
+            mixing_weights = [1.0] * len(self.sources)
+        w = np.asarray(mixing_weights, np.float64)
+        w = w / w.sum()
+        counts = np.maximum(1, np.round(w * self.num_workers).astype(int))
+        self._threads = []
+        wid = 0
+        for src_idx, n in enumerate(counts):
+            for k in range(int(n)):
+                t = threading.Thread(
+                    target=self._worker, args=(src_idx, wid, int(counts.sum())),
+                    daemon=True,
+                )
+                self._threads.append(t)
+                wid += 1
+
+    def start(self):
+        for t in self._threads:
+            t.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+
+    def _worker(self, src_idx: int, worker_id: int, total_workers: int):
+        shards = split_shards(
+            self.sources[src_idx], self.host_id, self.num_hosts,
+            worker_id, total_workers,
+        )
+        if not shards:  # fewer shards than workers: take the whole source
+            shards = self.sources[src_idx]
+        rng = np.random.default_rng(self.seed + worker_id)
+        shards = list(shards)
+        rng.shuffle(shards)
+        for key, sample in iter_shard_samples(shards, repeat=True):
+            if self._stop.is_set():
+                return
+            try:
+                wav, sr_in = decode_audio(sample)
+                wav = wav[:1]  # mono-ize: first channel (reference
+                # WebAudioDataModule._retrieve_sample takes audio[0])
+                if sr_in is not None and sr_in != self.target_sr:
+                    wav = resample_np(wav, sr_in, self.target_sr)
+                clip = preprocess_clip(wav, self.target_sr, self.target_seconds)
+            except Exception as exc:  # warn_and_continue
+                print(f"[data] skipping sample {key}: {exc}", flush=True)
+                continue
+            while not self._stop.is_set():
+                try:
+                    self.queue.put(clip, timeout=1.0)
+                    break
+                except queue.Full:
+                    continue
+
+    def __iter__(self):
+        while not self._stop.is_set():
+            yield self.queue.get()
+
+
+def shuffled_batches(
+    sample_iter: Iterator[np.ndarray],
+    batch_size: int,
+    shuffle_buffer: int = 1000,
+    seed: int = 0,
+) -> Iterator[np.ndarray]:
+    """WebDataset-style streaming shuffle: a bounded buffer from which each
+    emitted sample is a uniformly random eviction."""
+    rng = np.random.default_rng(seed)
+    buf: list[np.ndarray] = []
+    it = iter(sample_iter)
+    while len(buf) < shuffle_buffer:
+        buf.append(next(it))
+    while True:
+        batch = []
+        for _ in range(batch_size):
+            j = int(rng.integers(len(buf)))
+            batch.append(buf[j])
+            buf[j] = next(it)
+        yield np.stack(batch)
+
+
+def audio_shard_batches(cfg) -> Iterator[np.ndarray]:
+    """Config-driven SSL input pipeline → (B, 1, sr·10) f32 batches."""
+    import jax
+
+    source = ShardAudioSource(
+        cfg.data.data_dirs,
+        target_sr=cfg.data.sr,
+        target_seconds=cfg.data.target_seconds,
+        mixing_weights=cfg.data.mixing_weights,
+        num_workers=cfg.data.num_workers,
+        host_id=jax.process_index(),
+        num_hosts=jax.process_count(),
+        seed=cfg.trainer.seed,
+    ).start()
+    return shuffled_batches(
+        iter(source),
+        cfg.trainer.batch_size,
+        shuffle_buffer=cfg.data.shuffle_buffer,
+        seed=cfg.trainer.seed,
+    )

@@ -1,0 +1,107 @@
+"""Kaiser-windowed sinc resampling — host (numpy) and device (JAX) paths.
+
+Replaces torchaudio's ``sinc_interp_kaiser`` resampler, which the reference
+uses with lowpass_filter_width=64, rolloff≈0.9476, β≈14.77
+(/root/reference/data_modules/WebAudioDataModule.py:50-58) on the host and
+for the denoiser's on-GPU 32 k→16 k step (denoiser.py:262-266).
+
+The device path expresses rational-rate polyphase resampling as ONE
+`lax.conv_general_dilated` (lhs_dilation = upsample factor, window_strides =
+downsample factor) so XLA lowers it to an MXU-friendly strided conv that can
+live inside the fused preprocessing graph.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+
+import numpy as np
+
+
+def _kaiser_sinc_kernel(
+    sr_in: int, sr_out: int, lowpass_filter_width: int = 64,
+    rolloff: float = 0.9475937167399596, beta: float = 14.769656459379492,
+) -> tuple[np.ndarray, int, int]:
+    """FIR on the upsampled (sr_in·L) grid → (kernel f32, L, M).
+
+    Cutoff f_c = rolloff·min(sr)/2; half-width = lowpass_filter_width
+    zero-crossings of the cutoff sinc; Kaiser(β) window; passband gain 1.
+    """
+    g = math.gcd(sr_in, sr_out)
+    L, M = sr_out // g, sr_in // g
+    rate_up = sr_in * L
+    f_c = rolloff * min(sr_in, sr_out) / 2.0
+    half_width_s = lowpass_filter_width / (2.0 * f_c)
+    half_taps = int(math.ceil(half_width_s * rate_up))
+    t = np.arange(-half_taps, half_taps + 1, dtype=np.float64) / rate_up
+    kernel = 2.0 * f_c * np.sinc(2.0 * f_c * t)
+    window = np.kaiser(kernel.size, beta)
+    # bandlimited-reconstruction scaling: y(t) = Σ x[n]·(2f_c/sr_in)·
+    # sinc(2f_c(t−n/sr_in)); zero-stuffing needs no extra gain because only
+    # original samples contribute to the sum
+    kernel = kernel * window / sr_in
+    return kernel.astype(np.float32), L, M
+
+
+@lru_cache(maxsize=32)
+def _cached_kernel(sr_in, sr_out, width, rolloff, beta):
+    return _kaiser_sinc_kernel(sr_in, sr_out, width, rolloff, beta)
+
+
+def resample_np(
+    audio: np.ndarray, sr_in: int, sr_out: int, lowpass_filter_width: int = 64,
+    rolloff: float = 0.9475937167399596, beta: float = 14.769656459379492,
+) -> np.ndarray:
+    """Host resampling of (..., T) → (..., ceil(T·sr_out/sr_in))."""
+    if sr_in == sr_out:
+        return audio
+    kernel, L, M = _cached_kernel(sr_in, sr_out, lowpass_filter_width, rolloff, beta)
+    half = kernel.size // 2
+    t_in = audio.shape[-1]
+    t_out = int(math.ceil(t_in * sr_out / sr_in))
+
+    flat = audio.reshape(-1, t_in).astype(np.float32)
+    # zero-stuff by L, pad by half, filter, stride by M
+    up = np.zeros((flat.shape[0], t_in * L), np.float32)
+    up[:, ::L] = flat
+    padded = np.pad(up, ((0, 0), (half, half + M * t_out)))
+    out = np.empty((flat.shape[0], t_out), np.float32)
+    for i in range(flat.shape[0]):
+        filtered = np.convolve(padded[i], kernel, mode="valid")
+        out[i] = filtered[: t_out * M : M]
+    return out.reshape(*audio.shape[:-1], t_out)
+
+
+@partial(
+    __import__("jax").jit,
+    static_argnames=("sr_in", "sr_out", "lowpass_filter_width", "rolloff", "beta"),
+)
+def resample_jax(
+    audio, sr_in: int, sr_out: int, lowpass_filter_width: int = 64,
+    rolloff: float = 0.9475937167399596, beta: float = 14.769656459379492,
+):
+    """Device resampling of (B, C, T) → (B, C, ceil(T·sr_out/sr_in)) as one
+    dilated strided convolution (jit/pjit-composable)."""
+    import jax
+    import jax.numpy as jnp
+
+    if sr_in == sr_out:
+        return audio
+    kernel, L, M = _cached_kernel(sr_in, sr_out, lowpass_filter_width, rolloff, beta)
+    half = kernel.size // 2
+    b, c, t_in = audio.shape
+    t_out = int(math.ceil(t_in * sr_out / sr_in))
+
+    x = audio.reshape(b * c, 1, t_in)
+    k = jnp.asarray(kernel[::-1].copy())[None, None, :]  # OIH; conv = correlation
+    y = jax.lax.conv_general_dilated(
+        x,
+        k,
+        window_strides=(M,),
+        padding=[(half, half + M * t_out)],
+        lhs_dilation=(L,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )
+    return y[..., :t_out].reshape(b, c, t_out)

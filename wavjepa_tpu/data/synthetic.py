@@ -1,0 +1,32 @@
+"""Synthetic waveform source: infinite random 10-s clip batches.
+
+Used for smoke tests and the pretrain-throughput benchmark (bench.py) — the
+model-side pipeline is identical to real data, only decode/resample is
+skipped. Clips are pink-ish noise (cheap IIR over white noise) so instance
+norms see realistic dynamic range rather than pure white noise.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+
+def synthetic_audio_batches(
+    batch_size: int,
+    in_channels: int = 1,
+    seconds: float = 10.0,
+    sr: int = 16000,
+    seed: int = 0,
+) -> Iterator[np.ndarray]:
+    rng = np.random.default_rng(seed)
+    length = int(seconds * sr)
+    while True:
+        white = rng.standard_normal((batch_size, in_channels, length)).astype(
+            np.float32
+        )
+        # one-pole lowpass to give a decaying spectrum
+        batch = white.copy()
+        batch[..., 1:] = 0.7 * batch[..., :-1] + 0.3 * white[..., 1:]
+        yield batch

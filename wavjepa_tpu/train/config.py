@@ -1,0 +1,257 @@
+"""Structured configuration tree (data / optimizer / trainer / extractor /
+masker groups) with YAML files and dotted CLI overrides.
+
+Replaces the reference's Hydra+OmegaConf setup (/root/reference/configs/,
+train.py:225) with plain dataclasses:
+  * conv specs are structured lists of (dim, kernel, stride) — the reference
+    `eval`'s Python strings from YAML (train.py:62), which SURVEY.md flags
+    to replace;
+  * `run_identity()` reproduces the reference's config-derived run naming
+    (utils.py:1-23) for checkpoint/log paths.
+
+Usage:
+    cfg = load_config()                          # all defaults
+    cfg = load_config("configs/librispeech.yaml")
+    cfg = apply_overrides(cfg, ["masker.name=speech-masker",
+                                "trainer.batch_size=64"])
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Optional
+
+from wavjepa_tpu.masking import SpeechMaskConfig, TimeInverseMaskConfig
+from wavjepa_tpu.ops.conv_frontend import WAV2VEC2_CONV_SPEC, WAVJEPA_CONV_SPEC
+from wavjepa_tpu.train.step import EMAConfig, OptimizerConfig
+
+
+@dataclasses.dataclass
+class DataConfig:
+    name: str = "AudioSet"
+    data_dirs: Any = ""  # shard pattern(s): str or list[str]
+    mixing_weights: Optional[list[float]] = None
+    sr: int = 16000
+    in_channels: int = 1
+    samples_per_audio: int = 8
+    process_seconds: float = 2.01
+    target_seconds: float = 10.0
+    # denoise / Nat scene synthesis
+    noise_dir: str = ""
+    rir_dir: str = ""
+    with_rir: bool = True
+    with_noise: bool = True
+    snr_low: float = -5.0
+    snr_high: float = 5.0
+    # host pipeline
+    num_workers: int = 16
+    shuffle_buffer: int = 1000
+    prefetch: int = 2
+    synthetic: bool = False  # random-audio source for smoke tests/benchmarks
+
+
+@dataclasses.dataclass
+class ExtractorConfig:
+    name: str = "wavjepa"  # "wavjepa" | "wav2vec2" | custom
+    conv_spec: Optional[list[list[int]]] = None  # [[dim, k, stride], ...]
+    mode: str = "default"
+    conv_bias: bool = False
+    depthwise: bool = False
+    channel_wise: bool = False  # per-channel CNNs (Nat)
+    share_weights_over_channels: bool = False
+
+    def resolved_spec(self) -> tuple[tuple[int, int, int], ...]:
+        if self.conv_spec is not None:
+            return tuple(tuple(layer) for layer in self.conv_spec)
+        return {
+            "wavjepa": WAVJEPA_CONV_SPEC,
+            "wav2vec2": WAV2VEC2_CONV_SPEC,
+        }[self.name]
+
+
+@dataclasses.dataclass
+class MaskerConfig:
+    name: str = "time-inverse"  # "time-inverse" | "speech-masker"
+    target_masks_per_context: int = 4
+    context_mask_prob: float = 0.65
+    context_mask_length: int = 10
+    target_prob: float = 0.25
+    target_length: int = 10
+    ratio_cutoff: float = 0.1
+    min_context_len: int = 5
+    channel_based_masking: bool = False
+
+    def build(self):
+        """→ (masker_fn, masker_cfg) for train/step.py."""
+        from wavjepa_tpu.masking import speech_masks, time_inverse_block_masks
+
+        if self.name == "speech-masker":
+            return speech_masks, SpeechMaskConfig(
+                target_masks_per_context=self.target_masks_per_context,
+                target_prob=self.target_prob,
+                target_length=self.target_length,
+                min_context_len=self.min_context_len,
+                ratio_cutoff=self.ratio_cutoff,
+                channel_based_masking=self.channel_based_masking,
+            )
+        return time_inverse_block_masks, TimeInverseMaskConfig(
+            target_masks_per_context=self.target_masks_per_context,
+            context_mask_prob=self.context_mask_prob,
+            context_mask_length=self.context_mask_length,
+            target_prob=self.target_prob,
+            target_length=self.target_length,
+            ratio_cutoff=self.ratio_cutoff,
+            channel_based_masking=self.channel_based_masking,
+        )
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    steps: int = 375_000
+    batch_size: int = 32  # clips per step per data-parallel group member
+    precision: str = "bf16"  # "bf16" | "f32"
+    size: str = "base"  # "base" | "large"
+    average_top_k_layers: int = 8
+    num_devices: int = 0  # 0 = all visible
+    model_parallel: int = 1
+    remat: bool = False
+    ckpt_every: int = 25_000
+    keep_ckpts: int = 0  # 0 = keep all (reference save_top_k=-1)
+    log_every: int = 50
+    save_dir: str = "runs"
+    seed: int = 42
+
+
+@dataclasses.dataclass
+class Config:
+    model: str = "JEPA"  # "JEPA" | "Denoiser"
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    extractor: ExtractorConfig = dataclasses.field(default_factory=ExtractorConfig)
+    masker: MaskerConfig = dataclasses.field(default_factory=MaskerConfig)
+    optimizer: OptimizerConfig = dataclasses.field(default_factory=OptimizerConfig)
+    ema: EMAConfig = dataclasses.field(default_factory=EMAConfig)
+    trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+    # denoiser-only
+    alpha: float = 0.0
+    teacher_ckpt: str = ""
+
+    def run_identity(self) -> str:
+        """Hierarchical run name from config (reference utils.py:1-23)."""
+        m = self.masker
+        return "/".join(
+            [
+                f"Data={self.data.name}",
+                f"Extractor={self.extractor.name}",
+                f"InSeconds={self.data.process_seconds}",
+                f"BatchSize={self.trainer.batch_size}",
+                f"NrSamples={self.data.samples_per_audio}",
+                f"ModelSize={self.trainer.size}",
+                f"LR={self.optimizer.lr}",
+                f"Masking={m.name}",
+                f"TargetProb={m.target_prob}",
+                f"TargetLen={m.target_length}",
+                f"TopK={self.trainer.average_top_k_layers}",
+            ]
+        )
+
+    def build_model_config(self):
+        """Assemble the JEPAConfig for this run."""
+        import jax.numpy as jnp
+
+        from wavjepa_tpu.models.jepa import JEPAConfig
+
+        return JEPAConfig(
+            conv_spec=self.extractor.resolved_spec(),
+            in_channels=self.data.in_channels,
+            extractor="conv_channel" if self.extractor.channel_wise else "conv",
+            extractor_mode=self.extractor.mode,
+            conv_bias=self.extractor.conv_bias,
+            share_weights_over_channels=self.extractor.share_weights_over_channels,
+            size=self.trainer.size,
+            sample_rate=self.data.sr,
+            process_seconds=self.data.process_seconds,
+            average_top_k_layers=self.trainer.average_top_k_layers,
+            dtype=jnp.bfloat16 if self.trainer.precision == "bf16" else jnp.float32,
+            remat=self.trainer.remat,
+        )
+
+
+# --------------------------------------------------------------- (de)serialize
+
+
+def _from_dict(cls, data: dict):
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    kwargs = {}
+    for key, value in data.items():
+        if key not in fields:
+            raise KeyError(f"unknown config key '{key}' for {cls.__name__}")
+        ftype = fields[key].type
+        sub = _SUBCONFIGS.get((cls, key))
+        kwargs[key] = _from_dict(sub, value) if sub and isinstance(value, dict) else value
+    return cls(**kwargs)
+
+
+_SUBCONFIGS = {
+    (Config, "data"): DataConfig,
+    (Config, "extractor"): ExtractorConfig,
+    (Config, "masker"): MaskerConfig,
+    (Config, "optimizer"): OptimizerConfig,
+    (Config, "ema"): EMAConfig,
+    (Config, "trainer"): TrainerConfig,
+}
+
+
+def load_config(path: Optional[str] = None) -> Config:
+    if path is None:
+        return Config()
+    import yaml
+
+    data = yaml.safe_load(Path(path).read_text()) or {}
+    return _from_dict(Config, data)
+
+
+def _coerce(value: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(value)
+    if isinstance(current, float):
+        return float(value)
+    if value.startswith(("[", "{")):
+        return json.loads(value)
+    if value.lower() in ("null", "none"):
+        return None
+    return value
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Hydra-style dotted overrides: ``trainer.batch_size=64``.
+
+    Frozen sub-configs (optimizer/ema) are rebuilt via dataclasses.replace.
+    """
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override '{item}' is not key=value")
+        dotted, value = item.split("=", 1)
+        keys = dotted.split(".")
+        objs = [cfg]
+        for key in keys[:-1]:
+            objs.append(getattr(objs[-1], key))
+        leaf_obj, leaf_key = objs[-1], keys[-1]
+        current = getattr(leaf_obj, leaf_key)
+        new_value = _coerce(value, current)
+        # rebuild frozen dataclasses bottom-up
+        updated = new_value
+        for obj, key in zip(reversed(objs), reversed(keys)):
+            if dataclasses.is_dataclass(obj) and obj.__dataclass_params__.frozen:
+                updated = dataclasses.replace(obj, **{key: updated})
+            else:
+                setattr(obj, key, updated)
+                break
+    return cfg
+
+
+def config_to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,112 @@
+"""JEPA pretraining driver: mesh setup, state init/resume, step loop,
+checkpointing, metrics.
+
+The TPU-native counterpart of the reference's Lightning Trainer usage
+(/root/reference/train.py:160-180,225-250): one SPMD program over a device
+mesh instead of DDP process spawning; orbax instead of ModelCheckpoint;
+clips/sec/chip counters instead of Lightning progress bars. Resume is
+first-class (the reference SSL path cannot resume — SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavjepa_tpu.models.jepa import JEPA
+from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch
+from wavjepa_tpu.train.checkpoint import CheckpointManager
+from wavjepa_tpu.train.config import Config
+from wavjepa_tpu.train.state import TrainState
+from wavjepa_tpu.train.step import make_jepa_train_step, make_optimizer
+from wavjepa_tpu.utils.metrics import MetricLogger, Throughput
+
+
+def build_data_iterator(cfg: Config) -> Iterator[np.ndarray]:
+    if cfg.data.synthetic or not cfg.data.data_dirs:
+        from wavjepa_tpu.data.synthetic import synthetic_audio_batches
+
+        return synthetic_audio_batches(
+            cfg.trainer.batch_size,
+            in_channels=cfg.data.in_channels,
+            seconds=cfg.data.target_seconds,
+            sr=cfg.data.sr,
+            seed=cfg.trainer.seed,
+        )
+    from wavjepa_tpu.data.pipeline import audio_shard_batches
+
+    return audio_shard_batches(cfg)
+
+
+def train_jepa(
+    cfg: Config,
+    data_iter: Optional[Iterator[np.ndarray]] = None,
+    max_steps: Optional[int] = None,
+) -> TrainState:
+    """Run (or resume) JEPA pretraining. Returns the final TrainState."""
+    mesh = make_mesh(
+        cfg.trainer.num_devices or None, model_parallel=cfg.trainer.model_parallel
+    )
+    n_chips = int(np.prod(mesh.devices.shape))
+
+    model_cfg = cfg.build_model_config()
+    model = JEPA(model_cfg)
+    rng = jax.random.PRNGKey(cfg.trainer.seed)
+    k_init, k_train = jax.random.split(rng)
+
+    tx, lr_sched = make_optimizer(cfg.optimizer)
+    masker_fn, masker_cfg = cfg.masker.build()
+    step_fn = make_jepa_train_step(
+        model,
+        tx,
+        lr_sched,
+        nr_samples_per_audio=cfg.data.samples_per_audio,
+        masker=masker_fn,
+        masker_cfg=masker_cfg,
+        ema_cfg=cfg.ema,
+    )
+
+    init_audio = jnp.zeros((1, cfg.data.in_channels, model_cfg.target_length))
+    params = model.init(k_init, init_audio)["params"]
+    state = TrainState.create(params, tx)
+
+    run_dir = Path(cfg.trainer.save_dir) / cfg.run_identity()
+    ckpt = CheckpointManager(
+        run_dir / "ckpt", keep=cfg.trainer.keep_ckpts, every=cfg.trainer.ckpt_every
+    )
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}", flush=True)
+
+    logger = MetricLogger(str(run_dir / "tb"))
+    data_iter = data_iter if data_iter is not None else build_data_iterator(cfg)
+    total = max_steps if max_steps is not None else cfg.trainer.steps
+    clips_per_step = cfg.trainer.batch_size * cfg.data.samples_per_audio
+    throughput = Throughput(clips_per_step, n_chips)
+
+    start_step = int(state.step)
+    throughput.start()
+    last_metrics = {}
+    for _ in range(start_step, total):
+        batch = next(data_iter)
+        batch = shard_batch(mesh, jnp.asarray(batch))
+        state, metrics = step_fn(state, batch, k_train)
+        step = int(state.step)
+        if step % cfg.trainer.log_every == 0 or step == total:
+            last_metrics = {k: float(v) for k, v in metrics.items()}
+            last_metrics.update(throughput.step())
+            logger.log(step, last_metrics)
+        else:
+            throughput.step()
+        saved = ckpt.save(step, state)
+        if saved:
+            print(f"checkpoint @ {step}", flush=True)
+    ckpt.save(total, state, force=True)
+    ckpt.wait()
+    logger.close()
+    return state

@@ -1,0 +1,175 @@
+"""Fused JEPA training step.
+
+Everything the reference splits across CPU dataloader workers, Lightning's
+`on_after_batch_transfer` and the module forward
+(/root/reference/wavjepa/jepa.py:275-333) is ONE jitted XLA program here:
+
+  raw 10-s waveform batch
+    → 8 random 2.01-s crops/clip (single gather)
+    → per-crop instance norm → bf16
+    → on-device block-mask sampling (static shapes)
+    → conv frontend + context encoder + predictor
+    → EMA-teacher targets (top-k layer average, instance-normed)
+    → masked MSE
+    → global-norm clip 5.0 → AdamW(β=(0.9,0.98), eps 1e-6, wd 0.04)
+    → f32 EMA update of the teacher encoder.
+
+Dropped relative to the reference, with reason:
+  * the post-flatten random shuffle of crops (jepa.py:313-316) — a batch
+    permutation is a no-op for loss and gradients (no cross-sample ops);
+  * host-side mask precomputation — masks are sampled on device from the
+    step key, which removes the reference's biggest CPU bottleneck.
+
+Data parallelism: the step is GSPMD-agnostic — place `audio` with a
+batch sharding from `parallel/mesh.py` and XLA adds the ICI all-reduce.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from wavjepa_tpu.masking import TimeInverseMaskConfig, time_inverse_block_masks
+from wavjepa_tpu.models.jepa import JEPA, masked_prediction_loss
+from wavjepa_tpu.ops.audio import instance_normalize, random_crops
+from wavjepa_tpu.train.schedule import ema_decay_schedule, warmup_cosine_schedule
+from wavjepa_tpu.train.state import TrainState, ema_update
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """configs/optimizer/adamW.yaml + Lightning trainer flags."""
+
+    lr: float = 4e-4
+    b1: float = 0.9
+    b2: float = 0.98
+    eps: float = 1e-6
+    weight_decay: float = 0.04
+    grad_clip: float = 5.0
+    warmup_steps: int = 100_000
+    total_steps: int = 375_000
+
+
+@dataclasses.dataclass(frozen=True)
+class EMAConfig:
+    start_decay: float = 0.999
+    end_decay: float = 0.99999
+    anneal_end_step: int = 100_000
+
+
+def make_optimizer(cfg: OptimizerConfig) -> tuple[optax.GradientTransformation, Callable]:
+    sched = warmup_cosine_schedule(cfg.lr, cfg.warmup_steps, cfg.total_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(
+            sched, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps, weight_decay=cfg.weight_decay
+        ),
+    )
+    return tx, sched
+
+
+MaskerFn = Callable[..., tuple[jax.Array, jax.Array, jax.Array]]
+
+
+def jepa_loss_fn(
+    model: JEPA,
+    params: Any,
+    teacher_encoder: Any,
+    crops: jax.Array,
+    ctx_mask: jax.Array,
+    target_masks: jax.Array,
+    visible_masks: jax.Array,
+) -> jax.Array:
+    """Student prediction loss against stop-gradient EMA-teacher targets."""
+    feats = model.apply({"params": params}, crops, method="encode_features")
+    preds = model.apply(
+        {"params": params}, feats, ctx_mask, visible_masks, method="student_forward"
+    )
+    teacher_params = dict(params)
+    teacher_params["encoder"] = teacher_encoder
+    targets = model.apply(
+        {"params": teacher_params},
+        jax.lax.stop_gradient(feats),
+        method="teacher_forward",
+    )
+    return masked_prediction_loss(preds, jax.lax.stop_gradient(targets), target_masks)
+
+
+def make_jepa_train_step(
+    model: JEPA,
+    tx: optax.GradientTransformation,
+    lr_schedule: Callable,
+    nr_samples_per_audio: int = 8,
+    masker: Optional[MaskerFn] = None,
+    masker_cfg: Any = None,
+    ema_cfg: EMAConfig = EMAConfig(),
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Returns ``train_step(state, audio, rng) -> (state, metrics)`` where
+    ``audio`` is (B, C, samples) f32 (10-s clips) and ``rng`` is a base key
+    folded with the step counter (safe to pass the same key every call).
+    """
+    cfg = model.config
+    masker = masker or time_inverse_block_masks
+    masker_cfg = masker_cfg if masker_cfg is not None else TimeInverseMaskConfig()
+    ema_sched = ema_decay_schedule(
+        ema_cfg.start_decay, ema_cfg.end_decay, ema_cfg.anneal_end_step
+    )
+    crop_len = cfg.target_length
+    total_patches = cfg.total_patches
+
+    def step_fn(state: TrainState, audio: jax.Array, rng: jax.Array):
+        key = jax.random.fold_in(rng, state.step)
+        k_crop, k_mask = jax.random.split(key)
+
+        # --- fused batch prep (reference on_after_batch_transfer) ---
+        if audio.ndim == 2:
+            audio = audio[:, None, :]
+        crops = random_crops(k_crop, audio, crop_len, nr_samples_per_audio)
+        crops = instance_normalize(crops, axis=(-2, -1))
+        b, s, c, l = crops.shape
+        crops = crops.reshape(b * s, c, l).astype(cfg.dtype)
+
+        # --- on-device masks ---
+        ctx_mask, target_masks, visible_masks = masker(
+            k_mask, batch_size=b * s, n_times=total_patches,
+            in_channels=cfg.in_channels, cfg=masker_cfg,
+        )
+
+        # --- loss, grads, update ---
+        loss, grads = jax.value_and_grad(jepa_loss_fn, argnums=1)(
+            model, state.params, state.teacher_encoder,
+            crops, ctx_mask, target_masks, visible_masks,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # --- EMA teacher step (pre-update student weights, like the
+        # reference where _step_teacher runs inside training_step before the
+        # optimizer update, jepa.py:330-332) ---
+        decay = ema_sched(state.step)
+        teacher = ema_update(state.teacher_encoder, state.params["encoder"], decay)
+
+        new_state = TrainState(
+            params=params,
+            teacher_encoder=teacher,
+            opt_state=opt_state,
+            step=state.step + 1,
+        )
+        metrics = {
+            "loss": loss,
+            "ema_decay": decay,
+            "lr": lr_schedule(state.step),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
