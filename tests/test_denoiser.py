@@ -1,0 +1,150 @@
+"""Denoiser distillation: loss math, warm start, fused step smoke + learning,
+data pipeline shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wavjepa_tpu.models.denoiser import (
+    DenoiserConfig,
+    DenoiserStudent,
+    denoiser_distillation_loss,
+    student_params_from_jepa,
+)
+from wavjepa_tpu.models.jepa import JEPA, JEPAConfig
+from wavjepa_tpu.train.denoise_loop import synthetic_denoise_batches
+from wavjepa_tpu.train.denoise_step import (
+    DenoiseOptimizerConfig,
+    DenoiseTrainState,
+    make_denoise_optimizer,
+    make_denoise_train_step,
+)
+
+TINY = JEPAConfig(
+    conv_spec=((16, 10, 5), (16, 3, 2)),
+    encoder_layers=2,
+    encoder_dim=32,
+    encoder_heads=4,
+    decoder_layers=1,
+    decoder_dim=16,
+    decoder_heads=4,
+    sample_rate=1600,
+    process_seconds=0.201,
+    average_top_k_layers=2,
+)
+
+
+def _dcfg():
+    return DenoiserConfig(
+        jepa=TINY, alpha=0.3, original_sr=3200, nr_samples_per_audio=2,
+        target_seconds=1.0,
+    )
+
+
+def test_distillation_loss_blend():
+    a = jnp.ones((2, 5, 4))
+    b = jnp.zeros((2, 5, 4))
+    loss, parts = denoiser_distillation_loss(a, b, b, alpha=0.25)
+    # clean loss = 1, noisy loss = 0 → 0.25
+    assert float(parts["loss_clean"]) == pytest.approx(1.0)
+    assert float(parts["loss_denoise_dereverb"]) == pytest.approx(0.0)
+    assert float(loss) == pytest.approx(0.25)
+
+
+def test_student_warm_start_matches_teacher_representation():
+    """A student warm-started from JEPA params must reproduce the teacher's
+    `represent` output exactly (same encoder path, same numerics)."""
+    teacher = JEPA(TINY)
+    audio = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 1, TINY.target_length)),
+        jnp.float32,
+    )
+    tparams = teacher.init(jax.random.PRNGKey(0), audio)["params"]
+    student = DenoiserStudent(TINY)
+    sparams = student_params_from_jepa(tparams)
+    out_t = teacher.apply({"params": tparams}, audio, method="represent")
+    out_s = student.apply({"params": sparams}, audio)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_s), atol=1e-6)
+
+
+def test_denoise_step_runs_and_learns():
+    dcfg = _dcfg()
+    teacher = JEPA(TINY)
+    student = DenoiserStudent(TINY)
+    audio0 = jnp.zeros((1, 1, TINY.target_length))
+    tparams = teacher.init(jax.random.PRNGKey(0), audio0)["params"]
+    sparams = jax.tree.map(jnp.copy, student_params_from_jepa(tparams))
+
+    opt = DenoiseOptimizerConfig(lr=1e-3, warmup_steps=2, total_steps=50)
+    tx, sched = make_denoise_optimizer(opt)
+    state = DenoiseTrainState.create(sparams, tx)
+    step = make_denoise_train_step(
+        student, teacher, dcfg, tx, sched, with_rir=True, with_noise=True,
+        donate=False,
+    )
+
+    batches = synthetic_denoise_batches(
+        2, scene_len=dcfg.scene_length, rir_len=320, max_noise=2, seed=0
+    )
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(5):
+        batch = {k: jnp.asarray(v) for k, v in next(batches).items()}
+        state, metrics = step(state, tparams, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert int(state.step) == 5
+    # noisy-vs-clean distillation loss should move (training is happening);
+    # warm-started student ⇒ loss_clean starts at ~0 and stays small
+    assert float(metrics["loss_clean"]) < float(metrics["loss_denoise_dereverb"]) + 1.0
+
+
+def test_denoise_step_noise_only_and_rir_only():
+    dcfg = _dcfg()
+    teacher = JEPA(TINY)
+    student = DenoiserStudent(TINY)
+    audio0 = jnp.zeros((1, 1, TINY.target_length))
+    tparams = teacher.init(jax.random.PRNGKey(0), audio0)["params"]
+    sparams = student_params_from_jepa(tparams)
+    tx, sched = make_denoise_optimizer(
+        DenoiseOptimizerConfig(warmup_steps=2, total_steps=10)
+    )
+    for with_rir, with_noise in [(False, True), (True, False)]:
+        state = DenoiseTrainState.create(jax.tree.map(jnp.copy, sparams), tx)
+        step = make_denoise_train_step(
+            student, teacher, dcfg, tx, sched,
+            with_rir=with_rir, with_noise=with_noise, donate=False,
+        )
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in next(
+                iter(
+                    synthetic_denoise_batches(
+                        2, scene_len=dcfg.scene_length, rir_len=320,
+                        with_rir=with_rir, with_noise=with_noise,
+                    )
+                )
+            ).items()
+        }
+        state, metrics = step(state, tparams, batch, jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fade_noise_and_sample_assembly():
+    from wavjepa_tpu.data.denoise_pipeline import fade_noise
+
+    rng = np.random.default_rng(0)
+    sr = 1000
+    # long noise → cropped to clip length, faded out at the end
+    long_noise = np.ones((3 * sr,), np.float32)
+    out = fade_noise(long_noise, 2 * sr, sr, rng)
+    assert out.shape == (2 * sr,)
+    assert out[-1] == pytest.approx(0.0, abs=1e-6)
+    # short noise → fade-in and fade-out applied
+    short = np.ones((sr,), np.float32)
+    out = fade_noise(short, 2 * sr, sr, rng)
+    assert out.shape == (sr,)
+    assert out[0] == pytest.approx(0.0, abs=1e-6)
+    assert out[-1] == pytest.approx(0.0, abs=1e-6)
+    assert out[sr // 2] == pytest.approx(1.0)

@@ -1,0 +1,195 @@
+"""Denoiser training driver: teacher load, student warm-start, step loop.
+
+TPU-native counterpart of the reference denoise CLI
+(/root/reference/denoise.py:39-225): loads a WavJEPA-Clean checkpoint, maps
+its weights into BOTH the frozen teacher (full JEPA) and the student encoder
+path, then runs the fused denoise step (train/denoise_step.py) over the
+scene batches. Checkpoints every 2.5 k steps (denoise.py:94-102); resume via
+orbax latest-step restore.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from wavjepa_tpu.models.denoiser import (
+    DenoiserConfig,
+    DenoiserStudent,
+    student_params_from_jepa,
+)
+from wavjepa_tpu.models.jepa import JEPA
+from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch
+from wavjepa_tpu.train.checkpoint import CheckpointManager, import_torch_jepa
+from wavjepa_tpu.train.config import Config
+from wavjepa_tpu.train.denoise_step import (
+    DenoiseOptimizerConfig,
+    DenoiseTrainState,
+    make_denoise_optimizer,
+    make_denoise_train_step,
+)
+from wavjepa_tpu.utils.metrics import MetricLogger, Throughput
+
+
+def load_teacher_params(ckpt_path: str, model: JEPA):
+    """Full JEPA params from an orbax dir or a reference torch .ckpt
+    (`_orig_mod`-aware), filled from init for any missing subtree."""
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, model.config.in_channels, model.config.target_length)),
+    )["params"]
+    if not ckpt_path:
+        return template
+    path = Path(ckpt_path)
+    if path.is_dir():
+        mgr = CheckpointManager(path)
+        return mgr.restore({"params": template})["params"]
+    params, _ = import_torch_jepa(str(path), model.config)
+    return {**template, **params}
+
+
+def synthetic_denoise_batches(
+    batch_size: int,
+    scene_len: int,
+    rir_len: int,
+    max_noise: int = 5,
+    with_rir: bool = True,
+    with_noise: bool = True,
+    seed: int = 0,
+) -> Iterator[dict[str, np.ndarray]]:
+    """Random scene batches for smoke tests and benchmarks."""
+    rng = np.random.default_rng(seed)
+    while True:
+        batch = {
+            "audio": rng.standard_normal((batch_size, scene_len)).astype(np.float32)
+        }
+        if with_rir:
+            rir = np.zeros((batch_size, 1, rir_len), np.float32)
+            rir[:, :, 0] = 1.0
+            rir[:, :, 1:200] = 0.05 * rng.standard_normal((batch_size, 1, 199))
+            batch["source_rir"] = rir
+        if with_noise:
+            batch["noise"] = rng.standard_normal(
+                (batch_size, scene_len)
+            ).astype(np.float32)
+            batch["noise_start"] = np.zeros((batch_size,), np.int32)
+            batch["noise_length"] = np.full((batch_size,), scene_len, np.int32)
+            batch["snr"] = rng.uniform(-5, 5, (batch_size,)).astype(np.float32)
+            if with_rir:
+                nr = np.zeros((batch_size, max_noise, 1, rir_len), np.float32)
+                nr[:, :, :, 0] = 1.0
+                batch["noise_rirs"] = nr
+        yield batch
+
+
+def build_denoise_data_iterator(cfg: Config) -> Iterator[dict[str, np.ndarray]]:
+    dcfg = DenoiserConfig(jepa=cfg.build_model_config(), alpha=cfg.alpha)
+    if cfg.data.synthetic or not cfg.data.data_dirs:
+        return synthetic_denoise_batches(
+            cfg.trainer.batch_size,
+            scene_len=dcfg.scene_length,
+            rir_len=int(dcfg.original_sr * 2.0),
+            with_rir=cfg.data.with_rir,
+            with_noise=cfg.data.with_noise,
+            seed=cfg.trainer.seed,
+        )
+    from wavjepa_tpu.data.denoise_pipeline import (
+        DenoiseSampleSource,
+        denoise_batches,
+    )
+
+    source = DenoiseSampleSource(
+        cfg.data.data_dirs,
+        rir_pattern=cfg.data.rir_dir or None if cfg.data.with_rir else None,
+        noise_pattern=cfg.data.noise_dir or None if cfg.data.with_noise else None,
+        sr=32000,
+        target_seconds=cfg.data.target_seconds,
+        snr_low=cfg.data.snr_low,
+        snr_high=cfg.data.snr_high,
+        num_workers=cfg.data.num_workers,
+        host_id=jax.process_index(),
+        num_hosts=jax.process_count(),
+        seed=cfg.trainer.seed,
+    )
+    return denoise_batches(source, cfg.trainer.batch_size)
+
+
+def train_denoiser(
+    cfg: Config,
+    data_iter: Optional[Iterator[dict[str, np.ndarray]]] = None,
+    max_steps: Optional[int] = None,
+) -> DenoiseTrainState:
+    """Run (or resume) denoise distillation. Returns the final state."""
+    mesh = make_mesh(
+        cfg.trainer.num_devices or None, model_parallel=cfg.trainer.model_parallel
+    )
+    n_chips = int(np.prod(mesh.devices.shape))
+
+    jcfg = cfg.build_model_config()
+    dcfg = DenoiserConfig(
+        jepa=jcfg, alpha=cfg.alpha,
+        nr_samples_per_audio=cfg.data.samples_per_audio,
+        target_seconds=cfg.data.target_seconds,
+    )
+    teacher = JEPA(jcfg)
+    student = DenoiserStudent(jcfg)
+
+    teacher_params = jax.device_put(load_teacher_params(cfg.teacher_ckpt, teacher))
+    # student warm-start = the teacher's encoder path (denoise.py:195-210)
+    student_params = jax.tree.map(jnp.copy, student_params_from_jepa(teacher_params))
+
+    opt_cfg = DenoiseOptimizerConfig(
+        lr=cfg.optimizer.lr,
+        b1=cfg.optimizer.b1,
+        b2=cfg.optimizer.b2,
+        eps=cfg.optimizer.eps,
+        weight_decay=cfg.optimizer.weight_decay,
+        grad_clip=cfg.optimizer.grad_clip,
+        warmup_steps=min(5_000, cfg.trainer.steps),
+        total_steps=cfg.trainer.steps,
+    )
+    tx, lr_sched = make_denoise_optimizer(opt_cfg)
+    state = DenoiseTrainState.create(student_params, tx)
+    step_fn = make_denoise_train_step(
+        student, teacher, dcfg, tx, lr_sched,
+        with_rir=cfg.data.with_rir, with_noise=cfg.data.with_noise,
+    )
+
+    run_dir = Path(cfg.trainer.save_dir) / ("Denoise-" + cfg.run_identity())
+    ckpt = CheckpointManager(
+        run_dir / "ckpt", keep=cfg.trainer.keep_ckpts,
+        every=min(cfg.trainer.ckpt_every, 2_500),
+    )
+    if ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}", flush=True)
+
+    logger = MetricLogger(str(run_dir / "tb"))
+    data_iter = data_iter if data_iter is not None else build_denoise_data_iterator(cfg)
+    total = max_steps if max_steps is not None else cfg.trainer.steps
+    clips_per_step = cfg.trainer.batch_size * cfg.data.samples_per_audio
+    throughput = Throughput(clips_per_step, n_chips)
+
+    rng = jax.random.PRNGKey(cfg.trainer.seed + 1)
+    throughput.start()
+    for _ in range(int(state.step), total):
+        batch = next(data_iter)
+        batch = {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
+        state, metrics = step_fn(state, teacher_params, batch, rng)
+        step = int(state.step)
+        if step % cfg.trainer.log_every == 0 or step == total:
+            vals = {k: float(v) for k, v in metrics.items()}
+            vals.update(throughput.step())
+            logger.log(step, vals)
+        else:
+            throughput.step()
+        if ckpt.save(step, state):
+            print(f"checkpoint @ {step}", flush=True)
+    ckpt.save(total, state, force=True)
+    ckpt.wait()
+    logger.close()
+    return state

@@ -1,0 +1,172 @@
+"""Fused Denoiser training step.
+
+Everything the reference splits across dataloader workers, side-channel
+noise/RIR processes, and `Denoiser.on_after_batch_transfer`
+(/root/reference/wavjepa/denoiser.py:217-294) is ONE jitted XLA program:
+
+  (clean 10-s 32 kHz batch, RIRs, faded noise, SNRs)
+    → scene synthesis (FFT RIR convolution + segmental-SNR mix, ops/scenes.py)
+    → Kaiser-sinc resample 32 k→16 k of both noisy and clean scenes
+      (one dilated strided conv, data/resample.py)
+    → 16 random 2.01-s crops/clip, shared between noisy and clean views
+    → per-crop instance norm → bf16
+    → student(clean), student(noisy), frozen-teacher JEPA represent(clean)
+    → α-blended MSE → global-norm clip 1.0 → AdamW(lr 1e-4, wd 0,
+      warmup 5 000, cosine)                       (denoiser.py:200-214, denoise.py)
+
+The crop shuffle after flattening (denoiser.py:290-293) is dropped — a batch
+permutation doesn't change loss or gradients. Teacher params are an explicit
+step argument (frozen = never differentiated, never updated).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from wavjepa_tpu.data.resample import resample_jax
+from wavjepa_tpu.models.denoiser import (
+    DenoiserConfig,
+    DenoiserStudent,
+    denoiser_distillation_loss,
+)
+from wavjepa_tpu.models.jepa import JEPA
+from wavjepa_tpu.ops.audio import instance_normalize, random_crops
+from wavjepa_tpu.ops.scenes import generate_scene
+from wavjepa_tpu.train.schedule import warmup_cosine_schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class DenoiseOptimizerConfig:
+    """configs/optimizer/adamW_denoise.yaml + denoise trainer flags."""
+
+    lr: float = 1e-4
+    b1: float = 0.9
+    b2: float = 0.98
+    eps: float = 1e-6
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    warmup_steps: int = 5_000
+    total_steps: int = 100_000
+
+
+@struct.dataclass
+class DenoiseTrainState:
+    params: Any  # student (trainable)
+    opt_state: optax.OptState
+    step: jax.Array
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "DenoiseTrainState":
+        return cls(params=params, opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_denoise_optimizer(
+    cfg: DenoiseOptimizerConfig,
+) -> tuple[optax.GradientTransformation, Callable]:
+    sched = warmup_cosine_schedule(cfg.lr, cfg.warmup_steps, cfg.total_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(
+            sched, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps, weight_decay=cfg.weight_decay
+        ),
+    )
+    return tx, sched
+
+
+def make_denoise_train_step(
+    student: DenoiserStudent,
+    teacher: JEPA,
+    cfg: DenoiserConfig,
+    tx: optax.GradientTransformation,
+    lr_schedule: Callable,
+    with_rir: bool,
+    with_noise: bool,
+    donate: bool = True,
+):
+    """Build the jitted denoise step.
+
+    Returns ``step(state, teacher_params, batch, rng) -> (state, metrics)``
+    where ``batch`` is a dict of host-assembled arrays:
+
+      audio       (B, T32) f32      clean 10-s clips at ``cfg.original_sr``
+      source_rir  (B, C, L) f32     source RIRs              [if with_rir]
+      noise       (B, T32) f32      faded, offset-placed noise [if with_noise]
+      noise_rirs  (B, N, C, L) f32  noise RIRs (zero rows ok) [if both]
+      noise_start (B,) i32, noise_length (B,) i32, snr (B,) f32
+    """
+    jcfg = cfg.jepa
+    crop_len = jcfg.target_length
+    n_crops = cfg.nr_samples_per_audio
+
+    def step_fn(state: DenoiseTrainState, teacher_params, batch, rng):
+        key = jax.random.fold_in(rng, state.step)
+
+        # --- scene synthesis at 32 kHz (ops/scenes.py) ---
+        noisy = generate_scene(
+            batch["audio"],
+            batch.get("source_rir"),
+            batch.get("noise"),
+            batch.get("noise_rirs"),
+            batch.get("noise_start"),
+            batch.get("noise_length"),
+            batch.get("snr"),
+            with_rir=with_rir,
+            with_noise=with_noise,
+        )  # (B, 1, T32)
+        clean = batch["audio"][:, None, :]
+
+        # --- resample 32 k→16 k (denoiser.py:258-266) ---
+        if cfg.original_sr != jcfg.sample_rate:
+            noisy = resample_jax(noisy, cfg.original_sr, jcfg.sample_rate)
+            clean = resample_jax(clean, cfg.original_sr, jcfg.sample_rate)
+
+        # --- shared random crops + instance norm + bf16 (denoiser.py:267-294;
+        # the same gather indices are applied to clean and noisy views) ---
+        crops_noisy = random_crops(key, noisy, crop_len, n_crops)
+        crops_clean = random_crops(key, clean, crop_len, n_crops)
+        b, s, c, l = crops_noisy.shape
+        crops_noisy = (
+            instance_normalize(crops_noisy, axis=(-2, -1))
+            .reshape(b * s, c, l)
+            .astype(jcfg.dtype)
+        )
+        crops_clean = (
+            instance_normalize(crops_clean, axis=(-2, -1))
+            .reshape(b * s, c, l)
+            .astype(jcfg.dtype)
+        )
+
+        # --- frozen teacher targets: full JEPA representation of the clean
+        # view (final-normed encoder output, denoiser.py:352-356) ---
+        targets = teacher.apply(
+            {"params": teacher_params}, crops_clean, method="represent"
+        )
+
+        def loss_fn(params):
+            out_clean = student.apply({"params": params}, crops_clean)
+            out_noisy = student.apply({"params": params}, crops_noisy)
+            return denoiser_distillation_loss(out_clean, out_noisy, targets, cfg.alpha)
+
+        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        new_state = DenoiseTrainState(
+            params=params, opt_state=opt_state, step=state.step + 1
+        )
+        metrics = {
+            "loss": loss,
+            "lr": lr_schedule(state.step),
+            "grad_norm": optax.global_norm(grads),
+            **parts,
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step_fn, donate_argnums=donate_argnums)
