@@ -1,0 +1,122 @@
+"""ARCH datasets: embedding-precomputing views over (audio paths, labels).
+
+Counterpart of /root/reference/ARCH/arch_eval/datasets/classification_dataset.py
+and sequence_classification_dataset.py. Embeddings are precomputed in batches
+of equal-length (padded) clips so the accelerator sees large batched calls
+instead of the reference's per-item __getitem__ embedding computation.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+
+def load_clip(path: str, target_sr: int) -> np.ndarray:
+    """Decode an audio file to mono f32 at target_sr."""
+    from wavjepa_tpu.data.decode import decode_audio
+    from wavjepa_tpu.data.resample import resample_np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    ext = path.rsplit(".", 1)[-1].lower()
+    wav, sr = decode_audio({ext: data})
+    if wav.ndim > 1:
+        wav = wav.mean(axis=0) if wav.shape[0] > 1 else wav[0]
+    if sr is not None and sr != target_sr:
+        wav = resample_np(wav[None], sr, target_sr)[0]
+    return wav.astype(np.float32)
+
+
+class ClassificationDataset:
+    """Holds (audio_paths | audios, labels); precomputes embeddings through
+    the ARCH Model (classification_dataset.py:8-120)."""
+
+    def __init__(
+        self,
+        audio_paths: Optional[Sequence[str]] = None,
+        audios: Optional[Sequence[np.ndarray]] = None,
+        labels: Union[List[int], np.ndarray, None] = None,
+        model=None,
+        sampling_rate: int = 16000,
+        precompute_embeddings: bool = True,
+        mode: str = "linear",
+        max_seconds: float = 30.0,
+        batch_size: int = 32,
+        verbose: bool = False,
+    ):
+        if (audio_paths is None) == (audios is None):
+            raise ValueError("provide exactly one of audio_paths or audios")
+        if labels is None or model is None:
+            raise ValueError("labels and model must be provided")
+        self.audio_paths = list(audio_paths) if audio_paths is not None else None
+        self.audios = list(audios) if audios is not None else None
+        self.labels = np.asarray(labels)
+        self.model = model
+        self.sampling_rate = sampling_rate
+        self.mode = mode
+        self.max_len = int(max_seconds * sampling_rate)
+        self.batch_size = batch_size
+        self.verbose = verbose
+        self.embeddings: Optional[np.ndarray] = None
+        if precompute_embeddings:
+            self._precompute()
+
+    def __len__(self):
+        return len(self.labels)
+
+    def _load(self, idx: int) -> np.ndarray:
+        if self.audios is not None:
+            wav = np.asarray(self.audios[idx], np.float32)
+        else:
+            wav = load_clip(self.audio_paths[idx], self.sampling_rate)
+        return wav[: self.max_len]
+
+    def _precompute(self):
+        """Group clips into equal-padded batches → one device call each."""
+        n = len(self)
+        out: List[np.ndarray] = [None] * n  # type: ignore
+        order = np.argsort(
+            [
+                -(len(self.audios[i]) if self.audios is not None else 0)
+                for i in range(n)
+            ]
+        )
+        for lo in range(0, n, self.batch_size):
+            idxs = order[lo : lo + self.batch_size]
+            clips = [self._load(int(i)) for i in idxs]
+            max_len = max(c.shape[-1] for c in clips)
+            padded = [np.pad(c, (0, max_len - c.shape[-1])) for c in clips]
+            if hasattr(self.model, "get_batch_embeddings"):
+                embs = self.model.get_batch_embeddings(padded, mode=self.mode)
+            else:
+                embs = [
+                    self.model.get_token_embeddings(c)
+                    if self.mode == "attention-pooling"
+                    else self.model.get_embeddings(c)
+                    for c in padded
+                ]
+            for i, emb in zip(idxs, embs):
+                out[int(i)] = np.asarray(emb, np.float32)
+            if self.verbose:
+                print(f"embeddings {min(lo + self.batch_size, n)}/{n}", flush=True)
+        if self.mode == "attention-pooling":
+            max_t = max(e.shape[0] for e in out)
+            out = [np.pad(e, ((0, max_t - e.shape[0]), (0, 0))) for e in out]
+        self.embeddings = np.stack(out)
+
+    def arrays(self):
+        """(X, y) numpy views for the probe trainer."""
+        if self.embeddings is None:
+            self._precompute()
+        return self.embeddings, self.labels
+
+
+class SequenceClassificationDataset(ClassificationDataset):
+    """Frame-level labels: labels[i] is (n_frames,) aligned to token
+    embeddings (sequence_classification_dataset.py)."""
+
+    def __init__(self, *args, **kwargs):
+        kwargs.setdefault("mode", "attention-pooling")  # token embeddings
+        super().__init__(*args, **kwargs)

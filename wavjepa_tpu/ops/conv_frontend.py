@@ -96,6 +96,10 @@ class ConvBlock(nn.Module):
             (self.out_dim, in_c // self.groups, self.kernel),
             self.param_dtype,
         )
+        # NOTE: no preferred_element_type here — conv_general_dilated's
+        # transpose (backward) rule rejects an f32 cotangent against bf16
+        # operands. The TPU MXU accumulates bf16 convolutions in f32
+        # internally regardless, so same-dtype conv loses no precision.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
@@ -103,8 +107,7 @@ class ConvBlock(nn.Module):
             padding="VALID",
             dimension_numbers=("NCH", "OIH", "NCH"),
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        )
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.out_dim,), self.param_dtype
