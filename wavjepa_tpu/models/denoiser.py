@@ -36,7 +36,11 @@ from flax import linen as nn
 
 from wavjepa_tpu.models.jepa import JEPAConfig, trunc_normal_init
 from wavjepa_tpu.ops.conv_frontend import ConvFeatureExtractor
-from wavjepa_tpu.ops.transformer import LayerNorm32, TransformerEncoder
+from wavjepa_tpu.ops.transformer import (
+    LayerNorm32,
+    TransformerEncoder,
+    resolve_attn_impl,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +92,7 @@ class DenoiserStudent(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=cfg.dtype,
             remat=cfg.remat,
+            attn_impl=resolve_attn_impl(cfg.attn_impl),
             name="encoder",
         )
         self.pos_encoding_encoder = jnp.asarray(self.config.pos_table(cfg.encoder_dim))

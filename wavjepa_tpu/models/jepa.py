@@ -46,7 +46,11 @@ from wavjepa_tpu.ops.pos_embed import (
     get_1d_sincos_pos_embed_from_grid,
     get_binaural_pos_embed,
 )
-from wavjepa_tpu.ops.transformer import LayerNorm32, TransformerEncoder
+from wavjepa_tpu.ops.transformer import (
+    LayerNorm32,
+    TransformerEncoder,
+    resolve_attn_impl,
+)
 
 
 def trunc_normal_init(std: float = 0.02):
@@ -90,7 +94,13 @@ class JEPAConfig:
     pos_embed: str = "time"
     # precision
     dtype: Any = jnp.float32
-    remat: bool = False
+    # remat defaults ON: without it the train step stores every layer's
+    # attention logits/activations as backward residuals — measured 56 GB for
+    # the base config at batch 256, vs 16 GB HBM on v5e. Recompute-in-backward
+    # trades ~30% extra forward FLOPs for fitting the reference batch size.
+    remat: bool = True
+    # "auto" | "einsum" | "pallas" — fused VMEM attention kernel on TPU
+    attn_impl: str = "auto"
 
     def __post_init__(self):
         if self.size == "large":
@@ -181,6 +191,7 @@ class JEPA(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=cfg.dtype,
             remat=cfg.remat,
+            attn_impl=resolve_attn_impl(cfg.attn_impl),
             name="encoder",
         )
         self.decoder = TransformerEncoder(
@@ -191,6 +202,7 @@ class JEPA(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=cfg.dtype,
             remat=cfg.remat,
+            attn_impl=resolve_attn_impl(cfg.attn_impl),
             name="decoder",
         )
         self.encoder_to_decoder_mapper = nn.Dense(
@@ -222,9 +234,14 @@ class JEPA(nn.Module):
     def encode_features(self, audio: jax.Array) -> jax.Array:
         """(B, C, T_samples) → (B, total_patches, D_enc) positioned features.
 
-        Reference forward lines jepa.py:391-396.
+        Reference forward lines jepa.py:391-396. The conv stack is
+        rematerialized under cfg.remat — its layer outputs (e.g. 1.57 GB for
+        block_0 at batch 256) would otherwise all be saved for backward.
         """
-        x = self.extract_audio(audio)
+        if self.config.remat:
+            x = nn.remat(lambda mdl, a: mdl.extract_audio(a))(self, audio)
+        else:
+            x = self.extract_audio(audio)
         x = self.feature_norms(x)
         if self.post_extraction_mapper is not None:
             x = self.post_extraction_mapper(x)

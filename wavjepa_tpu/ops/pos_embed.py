@@ -82,3 +82,49 @@ def get_binaural_pos_embed(embed_dim: int, time_steps: int = 100) -> np.ndarray:
     left = np.concatenate([time_embed, channel_left], axis=1)
     right = np.concatenate([time_embed, channel_right], axis=1)
     return np.concatenate([left, right], axis=0)
+
+
+def interpolate_pos_embed_1d(table: np.ndarray, new_len: int) -> np.ndarray:
+    """Resize a loaded (T, D) positional table to (new_len, D) by per-dim
+    linear interpolation over a normalized position grid.
+
+    Counterpart of the reference's checkpoint pos-embed interpolation helpers
+    (/root/reference/wavjepa/pos_embed.py:158-267), used when loading weights
+    trained at a different `process_seconds` / patch count.
+    """
+    table = np.asarray(table)
+    old_len, dim = table.shape
+    if old_len == new_len:
+        return table
+    old_grid = np.linspace(0.0, 1.0, old_len)
+    new_grid = np.linspace(0.0, 1.0, new_len)
+    out = np.empty((new_len, dim), table.dtype)
+    for d in range(dim):
+        out[:, d] = np.interp(new_grid, old_grid, table[:, d])
+    return out
+
+
+def interpolate_pos_embed_2d(
+    table: np.ndarray, old_size: tuple[int, int], new_size: tuple[int, int]
+) -> np.ndarray:
+    """Resize a (H·W, D) 2-D positional table to a new (H', W') grid with
+    bilinear interpolation (reference pos_embed.py 2-D variant)."""
+    table = np.asarray(table)
+    h, w = old_size
+    nh, nw = new_size
+    dim = table.shape[1]
+    grid = table.reshape(h, w, dim)
+    # interpolate rows then columns
+    row_interp = np.empty((nh, w, dim), table.dtype)
+    old_h = np.linspace(0.0, 1.0, h)
+    new_h = np.linspace(0.0, 1.0, nh)
+    for j in range(w):
+        for d in range(dim):
+            row_interp[:, j, d] = np.interp(new_h, old_h, grid[:, j, d])
+    out = np.empty((nh, nw, dim), table.dtype)
+    old_w = np.linspace(0.0, 1.0, w)
+    new_w = np.linspace(0.0, 1.0, nw)
+    for i in range(nh):
+        for d in range(dim):
+            out[i, :, d] = np.interp(new_w, old_w, row_interp[i, :, d])
+    return out.reshape(nh * nw, dim)

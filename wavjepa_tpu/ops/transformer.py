@@ -27,6 +27,18 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def resolve_attn_impl(impl: str) -> str:
+    """'auto' → 'pallas' on TPU backends, 'einsum' elsewhere."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "einsum"
+    except Exception:
+        return "einsum"
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,
@@ -64,16 +76,28 @@ def key_padding_bias(
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """Packed-QKV multi-head self-attention matching torch MHA numerics."""
+    """Packed-QKV multi-head self-attention matching torch MHA numerics.
+
+    attn_impl:
+      * "einsum" — two einsums + f32 softmax (XLA fuses; used on CPU)
+      * "pallas" — fused VMEM-resident kernel with recompute-in-backward
+        (ops/flash_attention.py); requires a TPU backend
+    """
 
     embed_dim: int
     num_heads: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "einsum"
 
     @nn.compact
-    def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        bias: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
         d, h = self.embed_dim, self.num_heads
         head_dim = d // h
         qkv = nn.Dense(
@@ -88,7 +112,17 @@ class MultiHeadSelfAttention(nn.Module):
         q = q.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
-        out = dot_product_attention(q, k, v, bias=bias, dtype=self.dtype)
+        if self.attn_impl == "pallas":
+            from wavjepa_tpu.ops.flash_attention import flash_attention
+
+            mask = (
+                key_padding_mask
+                if key_padding_mask is not None
+                else jnp.zeros((b, t), bool)
+            )
+            out = flash_attention(q, k, v, mask)
+        else:
+            out = dot_product_attention(q, k, v, bias=bias, dtype=self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
         return nn.Dense(
             d,
@@ -133,16 +167,23 @@ class TransformerEncoderLayer(nn.Module):
     layer_norm_eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "einsum"
 
     @nn.compact
-    def __call__(self, x: jax.Array, bias: Optional[jax.Array] = None) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        bias: Optional[jax.Array] = None,
+        key_padding_mask: Optional[jax.Array] = None,
+    ) -> jax.Array:
         attn = MultiHeadSelfAttention(
             self.embed_dim,
             self.num_heads,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            attn_impl=self.attn_impl,
             name="self_attn",
-        )(x, bias=bias)
+        )(x, bias=bias, key_padding_mask=key_padding_mask)
         x = LayerNorm32(
             eps=self.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="norm1",
@@ -178,6 +219,7 @@ class TransformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    attn_impl: str = "einsum"
 
     def setup(self):
         layer = TransformerEncoderLayer
@@ -191,6 +233,7 @@ class TransformerEncoder(nn.Module):
                 layer_norm_eps=self.layer_norm_eps,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                attn_impl=self.attn_impl,
                 name=f"layers_{i}",
             )
             for i in range(self.num_layers)
@@ -207,11 +250,11 @@ class TransformerEncoder(nn.Module):
     ) -> jax.Array:
         bias = (
             key_padding_bias(key_padding_mask, dtype=jnp.float32)
-            if key_padding_mask is not None
+            if key_padding_mask is not None and self.attn_impl != "pallas"
             else None
         )
         for layer in self.layers:
-            x = layer(x, bias=bias)
+            x = layer(x, bias=bias, key_padding_mask=key_padding_mask)
         return self.norm(x)
 
     def layer_outputs(
@@ -222,11 +265,11 @@ class TransformerEncoder(nn.Module):
         """All per-layer outputs (no final norm), for teacher target making."""
         bias = (
             key_padding_bias(key_padding_mask, dtype=jnp.float32)
-            if key_padding_mask is not None
+            if key_padding_mask is not None and self.attn_impl != "pallas"
             else None
         )
         outs = []
         for layer in self.layers:
-            x = layer(x, bias=bias)
+            x = layer(x, bias=bias, key_padding_mask=key_padding_mask)
             outs.append(x)
         return outs

@@ -1,0 +1,1 @@
+from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch  # noqa: F401
