@@ -52,19 +52,23 @@ def main():
     audio = shard_batch(mesh, jnp.asarray(audio))
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup
+    # compile + warmup. NOTE: timing is closed by a host value fetch of the
+    # LAST step's loss — it depends on the whole donated-state chain, so it
+    # forces every timed step. (block_until_ready does not reliably block on
+    # tunneled/remote TPU backends — measured 100x-inflated rates with it.)
     state, metrics = step(state, audio, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
     for _ in range(2):
         state, metrics = step(state, audio, key)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, audio, key)
-    jax.block_until_ready(metrics["loss"])
+    loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
+    assert loss == loss, "non-finite loss"
 
     clips_per_sec = batch_clips * iters / dt
     value = clips_per_sec / n_chips

@@ -73,11 +73,12 @@ class NpySideSource:
             except Exception as exc:
                 print(f"[data] skipping npy sample: {exc}", flush=True)
                 continue
-            buf.append(arr)
             if len(buf) < self.shuffle_buffer:
+                buf.append(arr)
                 continue
+            # emit a random buffer slot, refill it with the new sample
             j = int(rng.integers(len(buf)))
-            item, buf[j] = buf[j], buf.pop()
+            item, buf[j] = buf[j], arr
             while not self._stop.is_set():
                 try:
                     self.queue.put(item, timeout=1.0)

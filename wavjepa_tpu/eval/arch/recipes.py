@@ -40,6 +40,28 @@ class _RecipeBase:
     is_multilabel: bool = False
     num_classes: int = 0
 
+    def _all_audio_paths(self) -> List[str]:
+        if hasattr(self, "folds"):
+            paths: List[str] = []
+            for fold in self.folds.values():
+                paths += fold["audio_paths"]
+            return sorted(set(paths))
+        return sorted(
+            {p for split in self.splits.values() for p in split[0]}
+        )
+
+    def get_average_duration(self) -> float:
+        """Mean clip duration in seconds (reference esc50.py:83-103)."""
+        from wavjepa_tpu.eval.arch.datasets import load_clip
+
+        durations = []
+        for path in self._all_audio_paths():
+            try:
+                durations.append(load_clip(path, 16000).shape[-1] / 16000.0)
+            except Exception as exc:
+                print(f"{path}: {exc}")
+        return float(np.mean(durations)) if durations else 0.0
+
     def _probe_layers(self, model: Model, mode: str) -> List[int]:
         if mode == "non-linear":
             return [model.get_classification_embedding_size()]
