@@ -11,6 +11,11 @@ vs_baseline derivation: the reference publishes no throughput (BASELINE.md).
 Its training budget is 375 000 steps × 32 clips/step/GPU within a ≤66 h
 SLURM walltime on H100s (train.sh), i.e. ≥50.5 clips/sec/GPU if the full
 walltime is used — we take that as the baseline clips/sec/chip estimate.
+Hardware context for reading the ratio: an H100 peaks at ~989 bf16 TFLOP/s
+vs ~197 on a v5e chip (5.0×), so per-chip parity with the H100 floor
+estimate corresponds to ~5× better per-FLOP efficiency. Timing here closes
+with a host value fetch (the tunneled TPU backend does not block in
+block_until_ready; see the project verify skill).
 """
 
 import json
@@ -33,9 +38,13 @@ def main():
         make_optimizer,
     )
 
+    import os
+
     n_chips = len(jax.devices())
     mesh = make_mesh(n_chips)
-    batch_clips = 32 * n_chips  # reference per-GPU clip batch, scaled
+    # reference per-GPU clip batch (32), scaled; BENCH_CLIPS overrides the
+    # per-chip clip count for utilization experiments
+    batch_clips = int(os.environ.get("BENCH_CLIPS", "32")) * n_chips
     n_crops = 8
 
     cfg = JEPAConfig(dtype=jnp.bfloat16)

@@ -93,8 +93,9 @@ class RuntimeJEPA:
         # output-step padding mask (reference calculate_padding_mask,
         # runtime.py:19-35): pad_steps at 100 steps/sec of padding
         total_steps = self.output_steps * n_chunks
-        proc_sec = self.unit_frames // self.sample_rate  # integer, like ref
-        output_sr = int(self.output_steps / proc_sec)
+        # steps/sec of the frontend (the reference uses integer seconds here,
+        # runtime.py:19-35 — float keeps sub-second window configs valid)
+        output_sr = self.output_steps * self.sample_rate / self.unit_frames
         pad_steps = int(pad_frames / self.sample_rate * output_sr)
         cut_off = total_steps - pad_steps
         step_mask = np.zeros((b, total_steps), bool)

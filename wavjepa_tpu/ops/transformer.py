@@ -22,21 +22,26 @@ from __future__ import annotations
 
 from typing import Optional
 
+from jax.ad_checkpoint import checkpoint_name
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 
 def resolve_attn_impl(impl: str) -> str:
-    """'auto' → 'pallas' on TPU backends, 'einsum' elsewhere."""
+    """'auto' → 'einsum'.
+
+    Measured on v5e (full base model, batch 256 crops, remat on): XLA's
+    einsum attention beats the head-packed Pallas kernel 1872 ms vs 2471 ms
+    per train step — at T=200 / head_dim 32-64 the workload is small-matmul
+    latency-bound, where XLA's batched-dot pipelining is already optimal.
+    The Pallas kernel (ops/flash_attention.py) remains for long-sequence
+    inference (e.g. whole-clip T=999), where the (B, H, T, T) logits XLA
+    materializes stop fitting HBM; select it with attn_impl='pallas'."""
     if impl != "auto":
         return impl
-    import jax
-
-    try:
-        return "pallas" if jax.default_backend() == "tpu" else "einsum"
-    except Exception:
-        return "einsum"
+    return "einsum"
 
 
 def dot_product_attention(
@@ -53,13 +58,19 @@ def dot_product_attention(
     """
     head_dim = q.shape[-1]
     scale = 1.0 / jnp.sqrt(head_dim).astype(q.dtype)
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q * scale, k, preferred_element_type=jnp.float32
-    )
+    # Logits are STORED in the io dtype (bf16 in training) — same as torch
+    # autocast, where the QK^T matmul emits bf16 and softmax upcasts — which
+    # halves the (B, H, T, T) HBM traffic that dominates this op. The MXU
+    # still accumulates in f32 internally; softmax math runs in f32 (the
+    # upcast fuses into the softmax pass). bf16's f32-range exponent keeps
+    # the additive -f32max mask bias finite.
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
     if bias is not None:
-        logits = logits + bias.astype(jnp.float32)
-    weights = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32).astype(dtype)
+        logits = logits + bias.astype(logits.dtype)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    return jnp.einsum(
+        "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
+    ).astype(dtype)
 
 
 def key_padding_bias(
@@ -184,6 +195,12 @@ class TransformerEncoderLayer(nn.Module):
             attn_impl=self.attn_impl,
             name="self_attn",
         )(x, bias=bias, key_padding_mask=key_padding_mask)
+        # named for the remat policy: saving attention outputs lets the
+        # backward replay skip re-running attention forward entirely — the
+        # Pallas kernel's custom VJP already recomputes its own probabilities
+        # from (q, k, v), so storing the (B, T, D) output is all that's
+        # needed (1.9 GB decoder-wide vs 28 GB for T x T residuals).
+        attn = checkpoint_name(attn, "attn_out")
         x = LayerNorm32(
             eps=self.layer_norm_eps, dtype=self.dtype, param_dtype=self.param_dtype,
             name="norm1",
@@ -224,7 +241,10 @@ class TransformerEncoder(nn.Module):
     def setup(self):
         layer = TransformerEncoderLayer
         if self.remat:
-            layer = nn.remat(TransformerEncoderLayer)
+            layer = nn.remat(
+                TransformerEncoderLayer,
+                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+            )
         self.layers = [
             layer(
                 self.embed_dim,
