@@ -49,11 +49,14 @@ class RuntimeJEPA:
         # per-channel output steps per window (reference runtime.py:82,
         # runtime_natjepa.py:84-87)
         self.output_steps = config.frames_per_window
-        self._forward = jax.jit(self._forward_impl, static_argnums=())
+        # params are an explicit jit argument — capturing them in the closure
+        # would bake ~400 MB of weights into the HLO as constants (the
+        # tunneled remote-compile service rejects such requests outright)
+        self._forward = jax.jit(self._forward_impl)
 
     # ------------------------------------------------------------------ core
 
-    def _forward_impl(self, chunks: jax.Array, masks: jax.Array) -> jax.Array:
+    def _forward_impl(self, params, chunks: jax.Array, masks: jax.Array) -> jax.Array:
         """chunks: (N, C, unit_frames); masks: (N, tokens) True=padding.
         → (N, S, E) per-window embeddings (channel-averaged for Nat)."""
         # per-window instance normalization over (C, T) — reference
@@ -65,7 +68,7 @@ class RuntimeJEPA:
         )
         normed = (chunks - mean) / (jnp.sqrt(var) + 1e-5)
         emb = self.model.apply(
-            {"params": self.params},
+            {"params": params},
             normed.astype(self.config.dtype),
             masks,
             method="represent",
@@ -114,7 +117,9 @@ class RuntimeJEPA:
                 b * n_chunks, -1
             )
 
-        emb = np.asarray(self._forward(jnp.asarray(chunks), jnp.asarray(masks)))
+        emb = np.asarray(
+            self._forward(self.params, jnp.asarray(chunks), jnp.asarray(masks))
+        )
         s_per = emb.shape[1]
         emb = emb.reshape(b, n_chunks * s_per, emb.shape[-1])[:, :cut_off]
 
@@ -170,18 +175,13 @@ def load_model(
         from pathlib import Path
 
         path = Path(model_file_path)
-        if path.is_dir():  # orbax checkpoint
+        if path.is_dir():  # orbax checkpoint (a TrainState tree or bare params)
             from wavjepa_tpu.train.checkpoint import CheckpointManager
 
-            import jax.numpy as _jnp
-
-            template = model.init(
-                jax.random.PRNGKey(0),
-                _jnp.zeros((1, config.in_channels, config.target_length)),
-            )["params"]
             mgr = CheckpointManager(path.parent if path.name.isdigit() else path)
-            restored = mgr.restore({"params": template})
-            params = restored["params"]
+            step = int(path.name) if path.name.isdigit() else None
+            restored = mgr.restore_raw(step)
+            params = restored.get("params", restored)
         else:  # torch checkpoint
             from wavjepa_tpu.train.checkpoint import import_torch_jepa
 

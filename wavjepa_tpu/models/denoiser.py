@@ -72,6 +72,7 @@ class DenoiserStudent(nn.Module):
             mode=cfg.extractor_mode,
             conv_bias=cfg.conv_bias,
             dtype=cfg.dtype,
+            remat=cfg.remat,
         )
         self.feature_norms = LayerNorm32(eps=1e-5, dtype=cfg.dtype, name="feature_norms")
         self.post_extraction_mapper = (

@@ -161,6 +161,7 @@ class JEPA(nn.Module):
                 conv_bias=cfg.conv_bias,
                 share_weights=cfg.share_weights_over_channels,
                 dtype=cfg.dtype,
+                remat=cfg.remat,
             )
         else:
             self.extract_audio = ConvFeatureExtractor(
@@ -169,6 +170,7 @@ class JEPA(nn.Module):
                 mode=cfg.extractor_mode,
                 conv_bias=cfg.conv_bias,
                 dtype=cfg.dtype,
+                remat=cfg.remat,
             )
         # reference: nn.LayerNorm(extract_audio.embedding_dim), default eps 1e-5
         self.feature_norms = LayerNorm32(eps=1e-5, dtype=cfg.dtype, name="feature_norms")
@@ -234,14 +236,12 @@ class JEPA(nn.Module):
     def encode_features(self, audio: jax.Array) -> jax.Array:
         """(B, C, T_samples) → (B, total_patches, D_enc) positioned features.
 
-        Reference forward lines jepa.py:391-396. The conv stack is
-        rematerialized under cfg.remat — its layer outputs (e.g. 1.57 GB for
+        Reference forward lines jepa.py:391-396. Conv blocks are
+        individually rematerialized under cfg.remat (see
+        ConvFeatureExtractor.remat) — their layer outputs (e.g. 1.57 GB for
         block_0 at batch 256) would otherwise all be saved for backward.
         """
-        if self.config.remat:
-            x = nn.remat(lambda mdl, a: mdl.extract_audio(a))(self, audio)
-        else:
-            x = self.extract_audio(audio)
+        x = self.extract_audio(audio)
         x = self.feature_norms(x)
         if self.post_extraction_mapper is not None:
             x = self.post_extraction_mapper(x)

@@ -148,7 +148,10 @@ class ConvBlock(nn.Module):
         else:
             y32 = y.astype(jnp.float32)
 
-        return jax.nn.gelu(y32, approximate=False).astype(self.dtype)
+        # GELU runs in the compute dtype (bf16 in training) — matching torch
+        # autocast, where norms run f32 but GELU executes in bf16; also halves
+        # the (B, 512, T) activation temporaries on TPU.
+        return jax.nn.gelu(y32.astype(self.dtype), approximate=False)
 
 
 class ConvFeatureExtractor(nn.Module):
@@ -166,6 +169,11 @@ class ConvFeatureExtractor(nn.Module):
     depthwise: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # rematerialize each block individually in backward: a whole-stack remat
+    # keeps several (B, 512, T_i) f32 temporaries live at once during the
+    # replay (measured 82 GB HBM demand for the denoiser at 512 crops);
+    # per-block remat bounds the live recompute set to one layer.
+    remat: bool = False
 
     @property
     def embedding_dim(self) -> int:
@@ -183,13 +191,14 @@ class ConvFeatureExtractor(nn.Module):
         if x.ndim == 2:
             x = x[:, None, :]
         in_d = self.in_channels
+        block_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
         for i, (dim, k, s) in enumerate(self.conv_spec):
             if self.mode == "layer_norm":
                 norm = "layer"
             else:
                 norm = "group" if i == 0 else "none"
             groups = in_d if self.depthwise else 1
-            x = ConvBlock(
+            x = block_cls(
                 out_dim=dim,
                 kernel=k,
                 stride=s,
@@ -222,6 +231,7 @@ class ConvChannelFeatureExtractor(nn.Module):
     share_weights: bool = False
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @property
     def embedding_dim(self) -> int:
@@ -246,6 +256,7 @@ class ConvChannelFeatureExtractor(nn.Module):
                 depthwise=self.depthwise,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
+                remat=self.remat,
                 name="cnn_shared",
             )
             # Fold channels into batch: one big conv call keeps the MXU busy
@@ -264,6 +275,7 @@ class ConvChannelFeatureExtractor(nn.Module):
                     depthwise=self.depthwise,
                     dtype=self.dtype,
                     param_dtype=self.param_dtype,
+                    remat=self.remat,
                     name=f"cnn_{ch}",
                 )
                 outs.append(cnn(x[:, ch : ch + 1, :]))

@@ -208,7 +208,10 @@ class TransformerEncoderLayer(nn.Module):
         h = nn.Dense(
             self.mlp_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear1"
         )(x)
-        h = jax.nn.gelu(h.astype(jnp.float32), approximate=False).astype(self.dtype)
+        # exact GELU in the compute dtype — torch autocast bf16 runs GELU in
+        # bf16 too (only norms/softmax are f32-exempt), and the f32 upcast
+        # would double the largest MLP temporaries on TPU
+        h = jax.nn.gelu(h, approximate=False)
         h = nn.Dense(
             self.embed_dim, dtype=self.dtype, param_dtype=self.param_dtype, name="linear2"
         )(h)

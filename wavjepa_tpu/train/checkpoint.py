@@ -45,6 +45,15 @@ class CheckpointManager:
             raise FileNotFoundError("no checkpoint found")
         return self._mgr.restore(step, args=ocp.args.StandardRestore(template))
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore the full saved pytree without a structural template —
+        used by inference consumers that only need the `params` subtree of a
+        TrainState checkpoint (e.g. api/runtime.load_model)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        return self._mgr.restore(step)
+
     def wait(self):
         self._mgr.wait_until_finished()
 

@@ -46,8 +46,10 @@ def load_teacher_params(ckpt_path: str, model: JEPA):
         return template
     path = Path(ckpt_path)
     if path.is_dir():
-        mgr = CheckpointManager(path)
-        return mgr.restore({"params": template})["params"]
+        mgr = CheckpointManager(path.parent if path.name.isdigit() else path)
+        restored = mgr.restore_raw(int(path.name) if path.name.isdigit() else None)
+        restored = restored.get("params", restored)
+        return {**template, **restored}
     params, _ = import_torch_jepa(str(path), model.config)
     return {**template, **params}
 
