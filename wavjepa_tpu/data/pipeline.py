@@ -8,8 +8,9 @@ pad/trim 10 s → *mask precomputation*). Differences by design:
   * masks are NOT precomputed here — they're sampled on-device inside the
     jitted train step (wavjepa_tpu/masking), removing the reference's
     dominant CPU cost and its mask/crop misalignment footgun;
-  * worker threads instead of processes (decode/resample are numpy/scipy
-    ops that release the GIL; no tensor pickling overhead);
+  * worker processes by default (scipy's polyphase resampler holds the
+    GIL — a threaded pipeline measured single-worker throughput), with a
+    thread backend for tests/small runs;
   * shard→(host, worker) assignment is deterministic
     (data/shards.split_shards), reproducing split_by_node semantics for
     multi-host runs;
@@ -23,6 +24,7 @@ supported by assigning workers to sources proportionally to
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
 from typing import Iterator, Optional, Sequence
@@ -57,7 +59,7 @@ def preprocess_clip(
 
 
 class ShardAudioSource:
-    """Threaded sample producer over tar shards."""
+    """Sample producer over tar shards (worker processes by default)."""
 
     def __init__(
         self,
@@ -70,14 +72,21 @@ class ShardAudioSource:
         host_id: int = 0,
         num_hosts: int = 1,
         seed: int = 0,
+        backend: str = "process",  # "process" | "thread"
     ):
         if isinstance(patterns, str):
             patterns = [patterns]
         self.sources = [expand_shard_pattern(p) for p in patterns]
         self.target_sr = target_sr
         self.target_seconds = target_seconds
-        self.queue: queue.Queue = queue.Queue(maxsize=queue_size)
-        self._stop = threading.Event()
+        self.backend = backend
+        if backend == "process":
+            self._ctx = mp.get_context("fork")
+            self.queue = self._ctx.Queue(maxsize=queue_size)
+            self._stop = self._ctx.Event()
+        else:
+            self.queue = queue.Queue(maxsize=queue_size)
+            self._stop = threading.Event()
         self.num_workers = max(1, num_workers)
         self.host_id, self.num_hosts = host_id, num_hosts
         self.seed = seed
@@ -92,10 +101,11 @@ class ShardAudioSource:
         wid = 0
         for src_idx, n in enumerate(counts):
             for k in range(int(n)):
-                t = threading.Thread(
-                    target=self._worker, args=(src_idx, wid, int(counts.sum())),
-                    daemon=True,
-                )
+                args = (src_idx, wid, int(counts.sum()))
+                if backend == "process":
+                    t = self._ctx.Process(target=self._worker, args=args, daemon=True)
+                else:
+                    t = threading.Thread(target=self._worker, args=args, daemon=True)
                 self._threads.append(t)
                 wid += 1
 
@@ -106,6 +116,11 @@ class ShardAudioSource:
 
     def stop(self):
         self._stop.set()
+        if self.backend == "process":
+            for t in self._threads:
+                t.join(timeout=2.0)
+                if t.is_alive():
+                    t.terminate()
 
     def _worker(self, src_idx: int, worker_id: int, total_workers: int):
         shards = split_shards(

@@ -53,24 +53,26 @@ def resample_np(
     audio: np.ndarray, sr_in: int, sr_out: int, lowpass_filter_width: int = 64,
     rolloff: float = 0.9475937167399596, beta: float = 14.769656459379492,
 ) -> np.ndarray:
-    """Host resampling of (..., T) → (..., ceil(T·sr_out/sr_in))."""
+    """Host resampling of (..., T) → (..., ceil(T·sr_out/sr_in)).
+
+    Polyphase via scipy.signal.resample_poly with our Kaiser-sinc FIR —
+    scipy scales a user window by ``up`` internally, hence kernel/L. A naive
+    dense zero-stuffed convolution here is O(T·L·taps) and takes minutes per
+    44.1 k→16 k clip (L=160, ~60 k taps); polyphase is milliseconds.
+    Verified to match the device conv path (resample_jax) to ~2e-6.
+    """
     if sr_in == sr_out:
         return audio
+    from scipy.signal import resample_poly
+
     kernel, L, M = _cached_kernel(sr_in, sr_out, lowpass_filter_width, rolloff, beta)
-    half = kernel.size // 2
     t_in = audio.shape[-1]
     t_out = int(math.ceil(t_in * sr_out / sr_in))
-
     flat = audio.reshape(-1, t_in).astype(np.float32)
-    # zero-stuff by L, pad by half, filter, stride by M
-    up = np.zeros((flat.shape[0], t_in * L), np.float32)
-    up[:, ::L] = flat
-    padded = np.pad(up, ((0, 0), (half, half + M * t_out)))
-    out = np.empty((flat.shape[0], t_out), np.float32)
-    for i in range(flat.shape[0]):
-        filtered = np.convolve(padded[i], kernel, mode="valid")
-        out[i] = filtered[: t_out * M : M]
-    return out.reshape(*audio.shape[:-1], t_out)
+    out = resample_poly(flat, L, M, axis=-1, window=kernel / L).astype(np.float32)
+    if out.shape[-1] < t_out:
+        out = np.pad(out, ((0, 0), (0, t_out - out.shape[-1])))
+    return out[:, :t_out].reshape(*audio.shape[:-1], t_out)
 
 
 @partial(
