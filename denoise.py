@@ -36,6 +36,10 @@ def main(argv=None):
         cfg.data.samples_per_audio = 16
     if not any(o.startswith("trainer.steps") for o in argv):
         cfg.trainer.steps = 100_000
+    if not any(o.startswith("trainer.batch_size") for o in argv):
+        # 8 clips × 16 crops fits a 16 GB v5e chip (the reference's 32×16
+        # assumes 80 GB GPUs); effective batch scales with data parallelism
+        cfg.trainer.batch_size = 8
 
     print(f"run: Denoise-{cfg.run_identity()}", flush=True)
     from wavjepa_tpu.train.denoise_loop import train_denoiser

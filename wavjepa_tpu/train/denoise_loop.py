@@ -191,7 +191,8 @@ def train_denoiser(
             throughput.step()
         if ckpt.save(step, state):
             print(f"checkpoint @ {step}", flush=True)
-    ckpt.save(total, state, force=True)
+    if ckpt.latest_step() != total:  # in-loop save may already cover `total`
+        ckpt.save(total, state, force=True)
     ckpt.wait()
     logger.close()
     return state

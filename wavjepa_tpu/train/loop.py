@@ -106,7 +106,8 @@ def train_jepa(
         saved = ckpt.save(step, state)
         if saved:
             print(f"checkpoint @ {step}", flush=True)
-    ckpt.save(total, state, force=True)
+    if ckpt.latest_step() != total:  # in-loop save may already cover `total`
+        ckpt.save(total, state, force=True)
     ckpt.wait()
     logger.close()
     return state
