@@ -152,3 +152,22 @@ def test_classification_dataset_precompute(tmp_path):
     x, y = ds.arrays()
     assert x.shape == (4, 8)
     assert list(y) == [0, 1, 2, 0]
+
+
+def test_sequence_probe_with_lstm():
+    from wavjepa_tpu.eval.arch import SequenceProbe
+
+    rng = np.random.default_rng(0)
+    n, t, e, c = 20, 9, 8, 3
+    y = rng.integers(0, c, (n, t))
+    x = 0.1 * rng.standard_normal((n, t, e)).astype(np.float32)
+    for i in range(n):
+        for j in range(t):
+            x[i, j, y[i, j]] += 3.0
+    probe = SequenceProbe(
+        input_embedding_size=e, num_classes=c, use_lstm=True, lstm_dim=8
+    )
+    probe.train((x[:14], y[:14]), (x[14:], y[14:]), learning_rate=3e-2,
+                max_num_epochs=25, batch_size=7)
+    metrics = probe.evaluate((x[14:], y[14:]))
+    assert metrics["accuracy"] >= 0.7
