@@ -1,0 +1,63 @@
+"""Aux utilities: profiling hooks, metric logging, config overrides."""
+
+import json
+
+import numpy as np
+import pytest
+
+from wavjepa_tpu.train.config import apply_overrides, load_config
+from wavjepa_tpu.utils.metrics import MetricLogger, Throughput
+from wavjepa_tpu.utils.profiling import device_memory_stats, timed
+
+
+def test_timed_block_measures():
+    with timed("block", sync=False, verbose=False) as t:
+        sum(range(10000))
+    assert t.elapsed_ms is not None and t.elapsed_ms >= 0.0
+
+
+def test_device_memory_stats_shape():
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)  # CPU devices may expose nothing
+
+
+def test_metric_logger_jsonl(tmp_path):
+    logger = MetricLogger(str(tmp_path), use_tensorboard=False)
+    logger.log(1, {"loss": 0.5})
+    logger.log(2, {"loss": 0.25})
+    logger.close()
+    lines = (tmp_path / "metrics.jsonl").read_text().strip().splitlines()
+    assert json.loads(lines[-1]) == {"step": 2, "loss": 0.25}
+
+
+def test_throughput_counters():
+    th = Throughput(clips_per_step=32, n_chips=4)
+    th.start()
+    out = th.step()
+    assert out["clips_per_sec"] > 0
+    assert out["clips_per_sec_per_chip"] == pytest.approx(out["clips_per_sec"] / 4)
+
+
+def test_config_overrides_nested_and_frozen():
+    cfg = load_config(None)
+    cfg = apply_overrides(
+        cfg,
+        [
+            "trainer.batch_size=64",
+            "optimizer.lr=0.001",  # frozen dataclass rebuild
+            "masker.name=speech-masker",
+            "data.mixing_weights=[0.5, 0.5]",
+        ],
+    )
+    assert cfg.trainer.batch_size == 64
+    assert cfg.optimizer.lr == pytest.approx(1e-3)
+    assert cfg.masker.name == "speech-masker"
+    assert cfg.data.mixing_weights == [0.5, 0.5]
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["no-equals-sign"])
+
+
+def test_run_identity_stable():
+    cfg = load_config(None)
+    ident = cfg.run_identity()
+    assert "Data=AudioSet" in ident and "ModelSize=base" in ident
