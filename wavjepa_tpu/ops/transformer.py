@@ -32,11 +32,12 @@ from flax import linen as nn
 def resolve_attn_impl(impl: str) -> str:
     """'auto' → 'einsum'.
 
-    Measured on v5e (full base model, batch 256 crops, remat on): XLA's
-    einsum attention beats the head-packed Pallas kernel 1872 ms vs 2471 ms
-    per train step — at T=200 / head_dim 32-64 the workload is small-matmul
-    latency-bound, where XLA's batched-dot pipelining is already optimal.
-    The Pallas kernel (ops/flash_attention.py) remains for long-sequence
+    Measured on v5e (full base model, batch 256 crops, remat on), full train
+    step: einsum with bf16-stored logits 1622 ms; jax.nn SDPA 1767 ms (keeps
+    f32 logits internally); head-packed Pallas kernel 2471 ms — at T=200 /
+    head_dim 32-64 the workload is small-matmul latency/traffic-bound, where
+    XLA's batched-dot pipelining plus bf16 logits is the best found. The
+    Pallas kernel (ops/flash_attention.py) remains for long-sequence
     inference (e.g. whole-clip T=999), where the (B, H, T, T) logits XLA
     materializes stop fitting HBM; select it with attn_impl='pallas'."""
     if impl != "auto":
@@ -120,6 +121,27 @@ class MultiHeadSelfAttention(nn.Module):
         )(x)
         b, t, _ = qkv.shape
         q, k, v = jnp.split(qkv, 3, axis=-1)
+        if self.attn_impl == "sdpa":
+            # jax.nn.dot_product_attention takes BTHD natively — skips the
+            # four per-layer head transposes the BHTD paths need
+            qt = q.reshape(b, t, h, head_dim)
+            kt = k.reshape(b, t, h, head_dim)
+            vt = v.reshape(b, t, h, head_dim)
+            valid = (
+                ~key_padding_mask[:, None, None, :]
+                if key_padding_mask is not None
+                else None
+            )
+            out = jax.nn.dot_product_attention(
+                qt, kt, vt, mask=valid, implementation="xla"
+            ).reshape(b, t, d)
+            return nn.Dense(
+                d,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="out_proj",
+            )(out)
         q = q.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
         k = k.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
         v = v.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
@@ -273,7 +295,7 @@ class TransformerEncoder(nn.Module):
     ) -> jax.Array:
         bias = (
             key_padding_bias(key_padding_mask, dtype=jnp.float32)
-            if key_padding_mask is not None and self.attn_impl != "pallas"
+            if key_padding_mask is not None and self.attn_impl not in ("pallas", "sdpa")
             else None
         )
         for layer in self.layers:
@@ -288,7 +310,7 @@ class TransformerEncoder(nn.Module):
         """All per-layer outputs (no final norm), for teacher target making."""
         bias = (
             key_padding_bias(key_padding_mask, dtype=jnp.float32)
-            if key_padding_mask is not None and self.attn_impl != "pallas"
+            if key_padding_mask is not None and self.attn_impl not in ("pallas", "sdpa")
             else None
         )
         outs = []
