@@ -148,3 +148,25 @@ def test_fade_noise_and_sample_assembly():
     assert out[0] == pytest.approx(0.0, abs=1e-6)
     assert out[-1] == pytest.approx(0.0, abs=1e-6)
     assert out[sr // 2] == pytest.approx(1.0)
+
+
+def test_effective_scene_flags_consistency():
+    """Step flags must match what the data source will actually emit
+    (real-data runs without rir/noise shard dirs must disable those paths)."""
+    from wavjepa_tpu.train.config import load_config
+    from wavjepa_tpu.train.denoise_loop import effective_scene_flags
+
+    cfg = load_config(None)
+    cfg.data.synthetic = True
+    assert effective_scene_flags(cfg) == (True, True)
+
+    cfg = load_config(None)
+    cfg.data.data_dirs = "shards-{000..001}.tar"  # real data, no rir/noise dirs
+    assert effective_scene_flags(cfg) == (False, False)
+
+    cfg.data.rir_dir = "rirs.tar"
+    assert effective_scene_flags(cfg) == (True, False)
+    cfg.data.noise_dir = "noise.tar"
+    assert effective_scene_flags(cfg) == (True, True)
+    cfg.data.with_noise = False
+    assert effective_scene_flags(cfg) == (True, False)

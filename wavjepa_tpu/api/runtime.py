@@ -99,7 +99,7 @@ class RuntimeJEPA:
         # steps/sec of the frontend (the reference uses integer seconds here,
         # runtime.py:19-35 — float keeps sub-second window configs valid)
         output_sr = self.output_steps * self.sample_rate / self.unit_frames
-        pad_steps = int(pad_frames / self.sample_rate * output_sr)
+        pad_steps = int(round(pad_frames / self.sample_rate * output_sr))
         cut_off = total_steps - pad_steps
         step_mask = np.zeros((b, total_steps), bool)
         step_mask[:, cut_off:] = True
@@ -138,9 +138,10 @@ class RuntimeJEPA:
     def _to_batch(self, audio) -> np.ndarray:
         if isinstance(audio, (list, tuple)):
             return prepare_batch(audio, self.in_channels)
-        arr = np.asarray(audio, np.float32)
-        if hasattr(audio, "detach"):  # torch tensor
+        if hasattr(audio, "detach"):  # torch tensor (may be on-device/grad)
             arr = audio.detach().cpu().numpy().astype(np.float32)
+        else:
+            arr = np.asarray(audio, np.float32)
         if arr.ndim == 2:
             return prepare_batch(list(arr), self.in_channels)
         if arr.ndim == 3:

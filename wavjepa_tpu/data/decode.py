@@ -66,4 +66,10 @@ def decode_audio(sample: dict[str, bytes]) -> tuple[np.ndarray, Optional[int]]:
         for key, payload in sample.items():
             if key == ext or key.endswith("." + ext):
                 return decoder(payload)
+    if any(k == "mp3" or k.endswith(".mp3") for k in sample):
+        raise ValueError(
+            "mp3 payloads are not supported by the first-party decoders "
+            "(wav/npy/flac are); transcode mp3 datasets (e.g. FMA-small, "
+            "MagnaTagATune) to wav/flac first"
+        )
     raise ValueError(f"no decodable audio in sample keys={list(sample)}")

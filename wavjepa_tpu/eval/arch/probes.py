@@ -221,7 +221,7 @@ class SequenceProbe(ClassificationProbe):
 
                     # x: (B, T, E); bidirectional LSTM over tokens
                     fwd = nn.RNN(nn.LSTMCell(lstm_dim))(x)
-                    bwd = nn.RNN(nn.LSTMCell(lstm_dim), reverse=True)(x)
+                    bwd = nn.RNN(nn.LSTMCell(lstm_dim), reverse=True, keep_order=True)(x)
                     h = jnp.concatenate([fwd, bwd], axis=-1)
                     return nn.Dense(n_cls)(h)
 

@@ -29,12 +29,25 @@ def run_command(command: str, device_id: int) -> int:
 
 
 def run_commands(commands: List[str], num_devices: int) -> List[int]:
-    """Round-robin commands over a per-device worker pool."""
+    """Run commands over a pool of exclusive devices: each worker checks a
+    device id out of a free-list for the duration of its command, so two
+    concurrent commands never share a chip (TPUs are exclusive-access; a
+    static idx % num_devices mapping double-books a chip whenever runtimes
+    are uneven)."""
+    import queue as _queue
+
     results: List[int] = [0] * len(commands)
+    free: _queue.Queue = _queue.Queue()
+    for device in range(num_devices):
+        free.put(device)
 
     def worker(idx_cmd):
         idx, cmd = idx_cmd
-        results[idx] = run_command(cmd, idx % num_devices)
+        device = free.get()
+        try:
+            results[idx] = run_command(cmd, device)
+        finally:
+            free.put(device)
 
     with ThreadPoolExecutor(max_workers=num_devices) as pool:
         list(pool.map(worker, enumerate(commands)))

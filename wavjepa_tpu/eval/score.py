@@ -198,7 +198,9 @@ class EventBasedScore(ScoreFunction):
 
     def _compute(self, predictions: EventDict, targets: EventDict, **kwargs) -> Ret:
         ntp = nref = nsys = 0
-        for filename in predictions:
+        # union of files: reference events without predictions still count
+        # toward nref (sed_eval evaluates every file it is shown)
+        for filename in set(predictions) | set(targets):
             ests = predictions.get(filename, [])
             refs = targets.get(filename, [])
             nsys += len(ests)
@@ -254,7 +256,7 @@ class SegmentBasedScore(ScoreFunction):
     def _compute(self, predictions: EventDict, targets: EventDict, **kwargs) -> Ret:
         res_ms = self.time_resolution * 1000.0
         tot_s = tot_d = tot_i = tot_ref = tot_tp = tot_fp = tot_fn = 0.0
-        for filename in predictions:
+        for filename in set(predictions) | set(targets):
             ests = predictions.get(filename, [])
             refs = targets.get(filename, [])
             max_ms = max(

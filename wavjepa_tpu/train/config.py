@@ -116,7 +116,9 @@ class TrainerConfig:
     average_top_k_layers: int = 8
     num_devices: int = 0  # 0 = all visible
     model_parallel: int = 1
-    remat: bool = False
+    # remat must stay on for the base config at batch 256 on 16 GB chips
+    # (see models/jepa.py JEPAConfig.remat)
+    remat: bool = True
     ckpt_every: int = 25_000
     keep_ckpts: int = 0  # 0 = keep all (reference save_top_k=-1)
     log_every: int = 50

@@ -88,15 +88,26 @@ def synthetic_denoise_batches(
         yield batch
 
 
+def effective_scene_flags(cfg: Config) -> tuple[bool, bool]:
+    """(with_rir, with_noise) that the BATCHES will actually carry: real-data
+    runs need the rir/noise shard dirs to be set, synthetic runs don't —
+    keeps the jitted step's static flags consistent with the data source."""
+    synthetic = cfg.data.synthetic or not cfg.data.data_dirs
+    with_rir = cfg.data.with_rir and (synthetic or bool(cfg.data.rir_dir))
+    with_noise = cfg.data.with_noise and (synthetic or bool(cfg.data.noise_dir))
+    return with_rir, with_noise
+
+
 def build_denoise_data_iterator(cfg: Config) -> Iterator[dict[str, np.ndarray]]:
     dcfg = DenoiserConfig(jepa=cfg.build_model_config(), alpha=cfg.alpha)
+    with_rir, with_noise = effective_scene_flags(cfg)
     if cfg.data.synthetic or not cfg.data.data_dirs:
         return synthetic_denoise_batches(
             cfg.trainer.batch_size,
             scene_len=dcfg.scene_length,
             rir_len=int(dcfg.original_sr * 2.0),
-            with_rir=cfg.data.with_rir,
-            with_noise=cfg.data.with_noise,
+            with_rir=with_rir,
+            with_noise=with_noise,
             seed=cfg.trainer.seed,
         )
     from wavjepa_tpu.data.denoise_pipeline import (
@@ -106,8 +117,8 @@ def build_denoise_data_iterator(cfg: Config) -> Iterator[dict[str, np.ndarray]]:
 
     source = DenoiseSampleSource(
         cfg.data.data_dirs,
-        rir_pattern=cfg.data.rir_dir or None if cfg.data.with_rir else None,
-        noise_pattern=cfg.data.noise_dir or None if cfg.data.with_noise else None,
+        rir_pattern=cfg.data.rir_dir if with_rir else None,
+        noise_pattern=cfg.data.noise_dir if with_noise else None,
         sr=32000,
         target_seconds=cfg.data.target_seconds,
         snr_low=cfg.data.snr_low,
@@ -156,9 +167,10 @@ def train_denoiser(
     )
     tx, lr_sched = make_denoise_optimizer(opt_cfg)
     state = DenoiseTrainState.create(student_params, tx)
+    with_rir, with_noise = effective_scene_flags(cfg)
     step_fn = make_denoise_train_step(
         student, teacher, dcfg, tx, lr_sched,
-        with_rir=cfg.data.with_rir, with_noise=cfg.data.with_noise,
+        with_rir=with_rir, with_noise=with_noise,
     )
 
     run_dir = Path(cfg.trainer.save_dir) / ("Denoise-" + cfg.run_identity())
