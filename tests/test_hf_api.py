@@ -51,3 +51,17 @@ def test_feature_extractor_resamples():
     audio_800 = np.ones(800, np.float32)  # 1 s at 800 Hz
     batch = fx(audio_800, sampling_rate=800)
     assert batch.shape[-1] == 1600
+
+
+def test_arch_hf_wrapper_model():
+    from wavjepa_tpu.eval.arch import HFWrapperModel
+
+    runtime = load_model("", config=TINY)
+    model = HFWrapperModel(runtime)
+    assert model.get_sampling_rate() == TINY.sample_rate
+    assert model.get_classification_embedding_size() == TINY.encoder_dim
+    audio = np.random.default_rng(0).standard_normal(TINY.sample_rate).astype(
+        np.float32
+    )
+    emb = model.get_embeddings(audio)
+    assert emb.shape == (TINY.encoder_dim,)

@@ -1,4 +1,8 @@
-from wavjepa_tpu.eval.arch.model import Model, WavJEPAModel  # noqa: F401
+from wavjepa_tpu.eval.arch.model import (  # noqa: F401
+    HFWrapperModel,
+    Model,
+    WavJEPAModel,
+)
 from wavjepa_tpu.eval.arch.datasets import ClassificationDataset  # noqa: F401
 from wavjepa_tpu.eval.arch.probes import (  # noqa: F401
     ClassificationProbe,

@@ -86,3 +86,16 @@ class WavJEPAModel(Model):
 
     def get_sampling_rate(self) -> int:
         return self.runtime.sample_rate
+
+
+class HFWrapperModel(WavJEPAModel):
+    """ARCH Model over the HF-parity surface (counterpart of the reference's
+    w2v2/HF wrapper, ARCH/configs/w2v2_wrapper.py): same embeddings, loaded
+    through WavJEPAForAudioEmbeddings.from_pretrained."""
+
+    @classmethod
+    def from_pretrained(cls, checkpoint_path: str = "", **kwargs) -> "HFWrapperModel":
+        from wavjepa_tpu.api.hf import WavJEPAForAudioEmbeddings
+
+        hf = WavJEPAForAudioEmbeddings.from_pretrained(checkpoint_path, **kwargs)
+        return cls(hf.runtime)
