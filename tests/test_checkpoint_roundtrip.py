@@ -51,3 +51,34 @@ def test_orbax_roundtrip_through_runtime(tmp_path):
     # resume restores the step counter
     restored = mgr.restore(state)
     assert int(restored.step) == int(state.step)
+
+
+def test_torch_export_import_roundtrip():
+    """flax params → torch-format state_dict → flax params is bit-exact
+    (enables publishing TPU-trained weights in the reference layout)."""
+    from wavjepa_tpu.api.convert import (
+        convert_jepa_state_dict,
+        export_jepa_state_dict,
+    )
+
+    model = JEPA(TINY)
+    params = model.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 1, TINY.target_length))
+    )["params"]
+    params = jax.tree.map(np.asarray, params)
+
+    sd = export_jepa_state_dict(params, teacher_encoder=params["encoder"])
+    assert "encoder.layers.0.self_attn.in_proj_weight" in sd
+    assert "extract_audio.cnn.0.0.weight" in sd
+
+    back, teacher = convert_jepa_state_dict(
+        sd,
+        encoder_layers=TINY.encoder_layers,
+        decoder_layers=TINY.decoder_layers,
+        conv_layers=len(TINY.conv_spec),
+    )
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(leaf, flat_b[path], err_msg=str(path))
+    assert teacher is not None

@@ -179,3 +179,77 @@ def convert_channel_conv_frontend(
         )
         for c in range(in_channels)
     }
+
+
+# ----------------------------------------------------------------- export
+
+
+def _t(x) -> np.ndarray:
+    return np.asarray(x)
+
+
+def export_linear(params: Mapping, prefix: str, out: dict):
+    out[f"{prefix}.weight"] = _t(params["kernel"]).T
+    if "bias" in params:
+        out[f"{prefix}.bias"] = _t(params["bias"])
+
+
+def export_layernorm(params: Mapping, prefix: str, out: dict):
+    out[f"{prefix}.weight"] = _t(params["scale"])
+    out[f"{prefix}.bias"] = _t(params["bias"])
+
+
+def export_transformer_encoder(params: Mapping, prefix: str, out: dict):
+    for name, layer in params.items():
+        if not name.startswith("layers_"):
+            continue
+        i = int(name.split("_")[1])
+        lp = f"{prefix}.layers.{i}"
+        out[f"{lp}.self_attn.in_proj_weight"] = _t(
+            layer["self_attn"]["in_proj"]["kernel"]
+        ).T
+        out[f"{lp}.self_attn.in_proj_bias"] = _t(layer["self_attn"]["in_proj"]["bias"])
+        export_linear(layer["self_attn"]["out_proj"], f"{lp}.self_attn.out_proj", out)
+        export_linear(layer["linear1"], f"{lp}.linear1", out)
+        export_linear(layer["linear2"], f"{lp}.linear2", out)
+        export_layernorm(layer["norm1"], f"{lp}.norm1", out)
+        export_layernorm(layer["norm2"], f"{lp}.norm2", out)
+    export_layernorm(params["norm"], f"{prefix}.norm", out)
+
+
+def export_conv_frontend(params: Mapping, prefix: str, out: dict):
+    for name, block in params.items():
+        i = int(name.split("_")[1])
+        out[f"{prefix}.{i}.0.weight"] = _t(block["kernel"])
+        if "bias" in block:
+            out[f"{prefix}.{i}.0.bias"] = _t(block["bias"])
+        if "norm_scale" in block:
+            # GroupNorm sits at Sequential index 2 in the reference block
+            out[f"{prefix}.{i}.2.weight"] = _t(block["norm_scale"])
+            out[f"{prefix}.{i}.2.bias"] = _t(block["norm_bias"])
+
+
+def export_jepa_state_dict(params: Mapping, teacher_encoder=None) -> dict:
+    """flax JEPA params → reference-format torch ``state_dict`` (numpy
+    values; wrap with torch.as_tensor to save as a .ckpt / publish to the
+    Hub). Inverse of convert_jepa_state_dict — roundtrips bit-exactly."""
+    out: dict = {}
+    extractor = params["extract_audio"]
+    if any(k.startswith("cnn_") for k in extractor):
+        for name, cnn in extractor.items():
+            idx = 0 if name == "cnn_shared" else int(name.split("_")[1])
+            export_conv_frontend(cnn, f"extract_audio.cnns.{idx}", out)
+    else:
+        export_conv_frontend(extractor, "extract_audio.cnn", out)
+    export_layernorm(params["feature_norms"], "feature_norms", out)
+    if "post_extraction_mapper" in params:
+        export_linear(params["post_extraction_mapper"], "post_extraction_mapper", out)
+    export_transformer_encoder(params["encoder"], "encoder", out)
+    if "decoder" in params:
+        export_transformer_encoder(params["decoder"], "decoder", out)
+        export_linear(params["encoder_to_decoder_mapper"], "encoder_to_decoder_mapper", out)
+        export_linear(params["decoder_to_encoder_mapper"], "decoder_to_encoder_mapper", out)
+        out["mask_token"] = _t(params["mask_token"])
+    if teacher_encoder is not None:
+        export_transformer_encoder(teacher_encoder, "teacher_encoder", out)
+    return out
