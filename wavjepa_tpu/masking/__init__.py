@@ -1,6 +1,7 @@
 from wavjepa_tpu.masking.maskers import (  # noqa: F401
     SpeechMaskConfig,
     TimeInverseMaskConfig,
+    format_mask,
     speech_masks,
     time_inverse_block_masks,
 )

@@ -178,3 +178,14 @@ def speech_masks(
             ctx_mask, target_masks, visible, in_channels
         )
     return ctx_mask, target_masks, visible
+
+
+def format_mask(mask, masked_char: str = "█", visible_char: str = "·") -> str:
+    """Pretty-print a boolean mask row for debugging (reference
+    wavjepa/utils.py mask printer): True (masked) → block, False → dot."""
+    import numpy as np
+
+    row = np.asarray(mask).astype(bool)
+    if row.ndim > 1:
+        return "\n".join(format_mask(r, masked_char, visible_char) for r in row)
+    return "".join(masked_char if m else visible_char for m in row)
