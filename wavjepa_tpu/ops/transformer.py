@@ -68,6 +68,9 @@ def dot_product_attention(
     logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
+    # (measured: forcing bf16 materialization of the logits with an
+    # optimization_barrier before the f32 softmax is 1.5% SLOWER — XLA's
+    # fusion choice here is already the right one)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
     return jnp.einsum(
         "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
