@@ -181,3 +181,22 @@ class TestPosEmbed:
         np.testing.assert_allclose(emb[:10, :8], emb[10:, :8])
         # left channel code is zeros
         np.testing.assert_allclose(emb[:10, 8:], 0.0)
+
+
+def test_conv1d_as_matmul_matches_lax_conv():
+    """The alternative MXU-matmul conv formulation is numerically identical
+    to lax.conv_general_dilated across layer shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavjepa_tpu.ops.conv_frontend import conv1d_as_matmul
+
+    rng = np.random.default_rng(0)
+    for (c_in, k, s, t) in [(1, 10, 5, 517), (32, 3, 2, 101), (32, 2, 2, 64)]:
+        x = jnp.asarray(rng.standard_normal((2, c_in, t)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((24, c_in, k)) * 0.1, jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, w, (s,), "VALID", dimension_numbers=("NCH", "OIH", "NCH")
+        )
+        got = conv1d_as_matmul(x, w, s)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
