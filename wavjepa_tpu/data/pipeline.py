@@ -58,6 +58,35 @@ def preprocess_clip(
     return wav.astype(np.float32)
 
 
+def _audio_worker(
+    shards, target_sr, target_seconds, seed, out_queue, stop_event
+):
+    """Top-level worker body (picklable for the spawn mp context):
+    decode → resample → normalize → pad/trim → enqueue."""
+    rng = np.random.default_rng(seed)
+    shards = list(shards)
+    rng.shuffle(shards)
+    for key, sample in iter_shard_samples(shards, repeat=True):
+        if stop_event.is_set():
+            return
+        try:
+            wav, sr_in = decode_audio(sample)
+            wav = wav[:1]  # mono-ize: first channel (reference
+            # WebAudioDataModule._retrieve_sample takes audio[0])
+            if sr_in is not None and sr_in != target_sr:
+                wav = resample_np(wav, sr_in, target_sr)
+            clip = preprocess_clip(wav, target_sr, target_seconds)
+        except Exception as exc:  # warn_and_continue
+            print(f"[data] skipping sample {key}: {exc}", flush=True)
+            continue
+        while not stop_event.is_set():
+            try:
+                out_queue.put(clip, timeout=1.0)
+                break
+            except queue.Full:
+                continue
+
+
 class ShardAudioSource:
     """Sample producer over tar shards (worker processes by default)."""
 
@@ -81,7 +110,11 @@ class ShardAudioSource:
         self.target_seconds = target_seconds
         self.backend = backend
         if backend == "process":
-            self._ctx = mp.get_context("fork")
+            # spawn, not fork: the training drivers initialize JAX (which is
+            # multithreaded) before building the data source, and forking a
+            # multithreaded process can deadlock. Workers re-import the
+            # package; sources are constructed picklable for this.
+            self._ctx = mp.get_context("spawn")
             self.queue = self._ctx.Queue(maxsize=queue_size)
             self._stop = self._ctx.Event()
         else:
@@ -99,13 +132,21 @@ class ShardAudioSource:
         counts = np.maximum(1, np.round(w * self.num_workers).astype(int))
         self._threads = []
         wid = 0
+        total_workers = int(counts.sum())
         for src_idx, n in enumerate(counts):
             for k in range(int(n)):
-                args = (src_idx, wid, int(counts.sum()))
+                shards = split_shards(
+                    self.sources[src_idx], self.host_id, self.num_hosts,
+                    wid, total_workers,
+                ) or list(self.sources[src_idx])
+                args = (
+                    shards, self.target_sr, self.target_seconds,
+                    self.seed + wid, self.queue, self._stop,
+                )
                 if backend == "process":
-                    t = self._ctx.Process(target=self._worker, args=args, daemon=True)
+                    t = self._ctx.Process(target=_audio_worker, args=args, daemon=True)
                 else:
-                    t = threading.Thread(target=self._worker, args=args, daemon=True)
+                    t = threading.Thread(target=_audio_worker, args=args, daemon=True)
                 self._threads.append(t)
                 wid += 1
 
@@ -121,36 +162,6 @@ class ShardAudioSource:
                 t.join(timeout=2.0)
                 if t.is_alive():
                     t.terminate()
-
-    def _worker(self, src_idx: int, worker_id: int, total_workers: int):
-        shards = split_shards(
-            self.sources[src_idx], self.host_id, self.num_hosts,
-            worker_id, total_workers,
-        )
-        if not shards:  # fewer shards than workers: take the whole source
-            shards = self.sources[src_idx]
-        rng = np.random.default_rng(self.seed + worker_id)
-        shards = list(shards)
-        rng.shuffle(shards)
-        for key, sample in iter_shard_samples(shards, repeat=True):
-            if self._stop.is_set():
-                return
-            try:
-                wav, sr_in = decode_audio(sample)
-                wav = wav[:1]  # mono-ize: first channel (reference
-                # WebAudioDataModule._retrieve_sample takes audio[0])
-                if sr_in is not None and sr_in != self.target_sr:
-                    wav = resample_np(wav, sr_in, self.target_sr)
-                clip = preprocess_clip(wav, self.target_sr, self.target_seconds)
-            except Exception as exc:  # warn_and_continue
-                print(f"[data] skipping sample {key}: {exc}", flush=True)
-                continue
-            while not self._stop.is_set():
-                try:
-                    self.queue.put(clip, timeout=1.0)
-                    break
-                except queue.Full:
-                    continue
 
     def __iter__(self):
         while not self._stop.is_set():
