@@ -141,3 +141,63 @@ class TestDataParallel:
         np.testing.assert_allclose(
             float(m_single["loss"]), float(m_shard["loss"]), rtol=2e-5
         )
+
+
+class TestNatSceneStep:
+    def test_nat_scene_train_step(self):
+        """WavJEPA-Nat: on-device binaural scene synthesis feeds the JEPA
+        step (channel extractor + channel masking + binaural positions)."""
+        import numpy as np
+
+        from wavjepa_tpu.masking import TimeInverseMaskConfig
+        from wavjepa_tpu.models.jepa import JEPA, JEPAConfig
+        from wavjepa_tpu.train.state import TrainState
+        from wavjepa_tpu.train.step import (
+            NatSceneConfig,
+            OptimizerConfig,
+            make_jepa_train_step,
+            make_optimizer,
+        )
+
+        cfg = JEPAConfig(
+            conv_spec=((16, 10, 5), (16, 3, 2)),
+            encoder_layers=2, encoder_dim=32, encoder_heads=4,
+            decoder_layers=1, decoder_dim=16, decoder_heads=4,
+            sample_rate=1600, process_seconds=0.201,
+            average_top_k_layers=2,
+            in_channels=2, extractor="conv_channel", pos_embed="binaural",
+        )
+        model = JEPA(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 2, cfg.target_length))
+        )["params"]
+        tx, sched = make_optimizer(OptimizerConfig(warmup_steps=2, total_steps=10))
+        state = TrainState.create(params, tx)
+        scene_cfg = NatSceneConfig(n_channels=2, original_sr=3200)
+        step = make_jepa_train_step(
+            model, tx, sched, nr_samples_per_audio=2,
+            masker_cfg=TimeInverseMaskConfig(
+                target_masks_per_context=2, context_mask_prob=0.5,
+                context_mask_length=4, target_prob=0.2, target_length=4,
+                channel_based_masking=True,
+            ),
+            scene_cfg=scene_cfg, donate=False,
+        )
+        rng = np.random.default_rng(0)
+        b, t32 = 2, 3200
+        rirs = np.zeros((b, 2, 320), np.float32)
+        rirs[:, :, 0] = 1.0
+        nrirs = np.zeros((b, 3, 2, 320), np.float32)
+        nrirs[:, 0, :, 0] = 1.0
+        batch = {
+            "audio": jnp.asarray(rng.standard_normal((b, t32)), jnp.float32),
+            "source_rir": jnp.asarray(rirs),
+            "noise": jnp.asarray(rng.standard_normal((b, t32)), jnp.float32),
+            "noise_rirs": jnp.asarray(nrirs),
+            "noise_start": jnp.zeros((b,), jnp.int32),
+            "noise_length": jnp.full((b,), t32, jnp.int32),
+            "snr": jnp.zeros((b,), jnp.float32),
+        }
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1

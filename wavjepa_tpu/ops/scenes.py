@@ -105,25 +105,29 @@ def generate_scene(
     snr_db: jax.Array | None,
     with_rir: bool,
     with_noise: bool,
+    n_channels: int = 1,
 ) -> jax.Array:
-    """Build the (B, 1, T) noisy/reverberant scene from a clean (B, T) batch.
+    """Build the (B, n_channels, T) noisy/reverberant scene from a clean
+    (B, T) batch.
 
     Static ``with_rir``/``with_noise`` select among the reference's 4 cases
     (generate_scenes_batch.py:153-188): rir+noise → reverberant source +
     reverberant aggregated noise at the target segmental SNR; rir-only →
     reverberant source; noise-only → dry source + dry noise at SNR; neither →
-    identity. First RIR channel only (mono scenes), like the reference's
-    ``source_rir[:, [0], :]`` / ``noise_rirs[:, :, [0], :]``.
+    identity. ``n_channels=1`` reproduces the reference denoiser's mono
+    slice (``source_rir[:, [0], :]``); ``n_channels=2/4`` keeps the
+    binaural/ambisonic RIR channels — the WavJEPA-Nat scene path.
     """
+    c = n_channels
     if not with_rir and not with_noise:
-        return source[:, None, :]
+        return jnp.broadcast_to(source[:, None, :], (source.shape[0], c, source.shape[-1]))
     if with_rir:
-        wet = convolve_with_rir(source, source_rir[:, :1, :])  # (B, 1, T)
+        wet = convolve_with_rir(source, source_rir[:, :c, :])  # (B, C, T)
         if not with_noise:
             return wet
-        bed = aggregate_noise(noise_rirs[:, :, :1, :], noise)  # (B, 1, T)
+        bed = aggregate_noise(noise_rirs[:, :, :c, :], noise)  # (B, C, T)
         return add_noise(wet, bed, snr_db, noise_start, noise_length)
     # noise only: the raw noise (already faded/placed on host) is the bed
-    return add_noise(
-        source[:, None, :], noise[:, None, :], snr_db, noise_start, noise_length
-    )
+    dry = jnp.broadcast_to(source[:, None, :], (source.shape[0], c, source.shape[-1]))
+    bed = jnp.broadcast_to(noise[:, None, :], dry.shape)
+    return add_noise(dry, bed, snr_db, noise_start, noise_length)

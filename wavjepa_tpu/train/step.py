@@ -34,9 +34,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from wavjepa_tpu.data.resample import resample_jax
 from wavjepa_tpu.masking import TimeInverseMaskConfig, time_inverse_block_masks
 from wavjepa_tpu.models.jepa import JEPA, masked_prediction_loss
 from wavjepa_tpu.ops.audio import instance_normalize, random_crops
+from wavjepa_tpu.ops.scenes import generate_scene
 from wavjepa_tpu.train.schedule import ema_decay_schedule, warmup_cosine_schedule
 from wavjepa_tpu.train.state import TrainState, ema_update
 
@@ -53,6 +55,20 @@ class OptimizerConfig:
     grad_clip: float = 5.0
     warmup_steps: int = 100_000
     total_steps: int = 375_000
+
+
+@dataclasses.dataclass(frozen=True)
+class NatSceneConfig:
+    """On-device naturalistic-scene synthesis for WavJEPA-Nat pretraining:
+    the step receives raw (audio, RIRs, noise, SNR) batches and builds
+    multi-channel (binaural/ambisonic) scenes before cropping — the data
+    path the reference describes for Nat (SURVEY.md §1 item 2) fused into
+    the train step like everything else."""
+
+    with_rir: bool = True
+    with_noise: bool = True
+    n_channels: int = 2  # 2 = binaural, 4 = ambisonic
+    original_sr: int = 32000  # scene-synthesis rate
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +124,7 @@ def make_jepa_train_step(
     masker: Optional[MaskerFn] = None,
     masker_cfg: Any = None,
     ema_cfg: EMAConfig = EMAConfig(),
+    scene_cfg: Optional[NatSceneConfig] = None,
     donate: bool = True,
 ):
     """Build the jitted train step.
@@ -115,6 +132,10 @@ def make_jepa_train_step(
     Returns ``train_step(state, audio, rng) -> (state, metrics)`` where
     ``audio`` is (B, C, samples) f32 (10-s clips) and ``rng`` is a base key
     folded with the step counter (safe to pass the same key every call).
+    With ``scene_cfg`` (WavJEPA-Nat), ``audio`` is instead a dict batch like
+    the denoise step's (audio/source_rir/noise/noise_rirs/... at
+    ``scene_cfg.original_sr``) and multi-channel scenes are synthesized
+    on device before cropping.
     """
     cfg = model.config
     masker = masker or time_inverse_block_masks
@@ -130,6 +151,22 @@ def make_jepa_train_step(
         k_crop, k_mask = jax.random.split(key)
 
         # --- fused batch prep (reference on_after_batch_transfer) ---
+        if scene_cfg is not None:
+            batch = audio  # dict batch (see docstring)
+            audio = generate_scene(
+                batch["audio"],
+                batch.get("source_rir"),
+                batch.get("noise"),
+                batch.get("noise_rirs"),
+                batch.get("noise_start"),
+                batch.get("noise_length"),
+                batch.get("snr"),
+                with_rir=scene_cfg.with_rir,
+                with_noise=scene_cfg.with_noise,
+                n_channels=scene_cfg.n_channels,
+            )  # (B, C, T_orig)
+            if scene_cfg.original_sr != cfg.sample_rate:
+                audio = resample_jax(audio, scene_cfg.original_sr, cfg.sample_rate)
         if audio.ndim == 2:
             audio = audio[:, None, :]
         crops = random_crops(k_crop, audio, crop_len, nr_samples_per_audio)
