@@ -43,6 +43,9 @@ class DataConfig:
     rir_dir: str = ""
     with_rir: bool = True
     with_noise: bool = True
+    # WavJEPA-Nat: synthesize multi-channel scenes on device inside the SSL
+    # step (requires in_channels 2/4 + rir_dir/noise_dir, or synthetic)
+    nat_scenes: bool = False
     snr_low: float = -5.0
     snr_high: float = 5.0
     # host pipeline
@@ -61,6 +64,7 @@ class ExtractorConfig:
     depthwise: bool = False
     channel_wise: bool = False  # per-channel CNNs (Nat)
     share_weights_over_channels: bool = False
+    pos_embed: str = "time"  # "time" | "binaural" (Nat)
 
     def resolved_spec(self) -> tuple[tuple[int, int, int], ...]:
         if self.conv_spec is not None:
@@ -171,6 +175,7 @@ class Config:
             extractor_mode=self.extractor.mode,
             conv_bias=self.extractor.conv_bias,
             share_weights_over_channels=self.extractor.share_weights_over_channels,
+            pos_embed=self.extractor.pos_embed,
             size=self.trainer.size,
             sample_rate=self.data.sr,
             process_seconds=self.data.process_seconds,

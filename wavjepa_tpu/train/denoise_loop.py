@@ -61,18 +61,21 @@ def synthetic_denoise_batches(
     max_noise: int = 5,
     with_rir: bool = True,
     with_noise: bool = True,
+    n_channels: int = 1,
     seed: int = 0,
 ) -> Iterator[dict[str, np.ndarray]]:
-    """Random scene batches for smoke tests and benchmarks."""
+    """Random scene batches for smoke tests and benchmarks. ``n_channels``
+    sizes the RIR channel axis (2 = binaural Nat scenes)."""
     rng = np.random.default_rng(seed)
+    c = n_channels
     while True:
         batch = {
             "audio": rng.standard_normal((batch_size, scene_len)).astype(np.float32)
         }
         if with_rir:
-            rir = np.zeros((batch_size, 1, rir_len), np.float32)
+            rir = np.zeros((batch_size, c, rir_len), np.float32)
             rir[:, :, 0] = 1.0
-            rir[:, :, 1:200] = 0.05 * rng.standard_normal((batch_size, 1, 199))
+            rir[:, :, 1:200] = 0.05 * rng.standard_normal((batch_size, c, 199))
             batch["source_rir"] = rir
         if with_noise:
             batch["noise"] = rng.standard_normal(
@@ -82,7 +85,7 @@ def synthetic_denoise_batches(
             batch["noise_length"] = np.full((batch_size,), scene_len, np.int32)
             batch["snr"] = rng.uniform(-5, 5, (batch_size,)).astype(np.float32)
             if with_rir:
-                nr = np.zeros((batch_size, max_noise, 1, rir_len), np.float32)
+                nr = np.zeros((batch_size, max_noise, c, rir_len), np.float32)
                 nr[:, :, :, 0] = 1.0
                 batch["noise_rirs"] = nr
         yield batch
@@ -108,6 +111,7 @@ def build_denoise_data_iterator(cfg: Config) -> Iterator[dict[str, np.ndarray]]:
             rir_len=int(dcfg.original_sr * 2.0),
             with_rir=with_rir,
             with_noise=with_noise,
+            n_channels=cfg.data.in_channels if cfg.data.nat_scenes else 1,
             seed=cfg.trainer.seed,
         )
     from wavjepa_tpu.data.denoise_pipeline import (

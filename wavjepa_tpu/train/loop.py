@@ -23,11 +23,24 @@ from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch
 from wavjepa_tpu.train.checkpoint import CheckpointManager
 from wavjepa_tpu.train.config import Config
 from wavjepa_tpu.train.state import TrainState
-from wavjepa_tpu.train.step import make_jepa_train_step, make_optimizer
+from wavjepa_tpu.train.step import (
+    NatSceneConfig,
+    make_jepa_train_step,
+    make_optimizer,
+)
 from wavjepa_tpu.utils.metrics import MetricLogger, Throughput
 
 
 def build_data_iterator(cfg: Config) -> Iterator[np.ndarray]:
+    if cfg.data.nat_scenes:
+        # Nat: raw (audio, RIRs, noise, SNR) batches; scenes synthesize on
+        # device inside the step (train/step.py NatSceneConfig)
+        from wavjepa_tpu.train.denoise_loop import (
+            build_denoise_data_iterator,
+            effective_scene_flags,
+        )
+
+        return build_denoise_data_iterator(cfg)
     if cfg.data.synthetic or not cfg.data.data_dirs:
         from wavjepa_tpu.data.synthetic import synthetic_audio_batches
 
@@ -61,6 +74,16 @@ def train_jepa(
 
     tx, lr_sched = make_optimizer(cfg.optimizer)
     masker_fn, masker_cfg = cfg.masker.build()
+    scene_cfg = None
+    if cfg.data.nat_scenes:
+        from wavjepa_tpu.train.denoise_loop import effective_scene_flags
+
+        with_rir, with_noise = effective_scene_flags(cfg)
+        scene_cfg = NatSceneConfig(
+            with_rir=with_rir,
+            with_noise=with_noise,
+            n_channels=cfg.data.in_channels,
+        )
     step_fn = make_jepa_train_step(
         model,
         tx,
@@ -69,6 +92,7 @@ def train_jepa(
         masker=masker_fn,
         masker_cfg=masker_cfg,
         ema_cfg=cfg.ema,
+        scene_cfg=scene_cfg,
     )
 
     init_audio = jnp.zeros((1, cfg.data.in_channels, model_cfg.target_length))
@@ -94,7 +118,10 @@ def train_jepa(
     last_metrics = {}
     for _ in range(start_step, total):
         batch = next(data_iter)
-        batch = shard_batch(mesh, jnp.asarray(batch))
+        if isinstance(batch, dict):  # Nat scene batches
+            batch = {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
+        else:
+            batch = shard_batch(mesh, jnp.asarray(batch))
         state, metrics = step_fn(state, batch, k_train)
         step = int(state.step)
         if step % cfg.trainer.log_every == 0 or step == total:
