@@ -81,6 +81,15 @@ def main():
 
     clips_per_sec = batch_clips * iters / dt
     value = clips_per_sec / n_chips
+
+    # MFU: analytic useful FLOPs (student fwd + teacher fwd + 2x student
+    # bwd; remat recompute excluded by convention) / measured step time /
+    # 197 bf16 TFLOP/s v5e peak — VERDICT r1 item 10, so progress is
+    # measurable independently of the H100-walltime baseline estimate.
+    from wavjepa_tpu.utils.flops import jepa_step_flops, mfu
+
+    step_flops = jepa_step_flops(cfg, n_crops * batch_clips // n_chips)
+    step_seconds = dt / iters
     print(
         json.dumps(
             {
@@ -88,6 +97,9 @@ def main():
                 "value": round(value, 2),
                 "unit": "clips/s/chip",
                 "vs_baseline": round(value / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
+                "step_time_ms": round(1000 * step_seconds, 1),
+                "tflops_per_step": round(step_flops / 1e12, 2),
+                "mfu": round(mfu(step_flops, step_seconds), 4),
             }
         )
     )

@@ -8,8 +8,12 @@ ships raw (audio, source_rir, noise, noise_len, noise_start, noise_rirs, snr)
 tuples — the actual convolution happens later on the accelerator). Design
 changes:
 
-  * side channels are daemon threads over first-party tar readers (npy decode
-    is numpy; no tensor pickling across processes);
+  * side channels are spawn-based worker PROCESSES over first-party tar
+    readers (same rationale as the main ingest, data/pipeline.py:112-117:
+    the numpy decode/fade path holds the GIL, and at real training rates
+    threaded side channels contend with the audio workers' parent-side queue
+    draining; spawn-not-fork because the drivers initialize JAX first). A
+    thread backend remains for tests/small runs;
   * every emitted array is FIXED SHAPE: RIRs padded to ``rir_seconds``,
     noise-RIR count padded with zero rows to ``max_noise_sources`` (a zero
     RIR convolves to zero — same semantics as a missing source), noise
@@ -19,6 +23,7 @@ changes:
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
 from typing import Iterator, Optional, Sequence
@@ -30,10 +35,37 @@ from wavjepa_tpu.data.pipeline import ShardAudioSource
 from wavjepa_tpu.data.shards import expand_shard_pattern, iter_shard_samples
 
 
+def _npy_side_worker(shards, seed, shuffle_buffer, out_queue, stop_event):
+    """Top-level worker body (picklable for the spawn mp context): npy tar
+    decode → streaming shuffle → enqueue."""
+    rng = np.random.default_rng(seed)
+    buf: list[np.ndarray] = []
+    for _, sample in iter_shard_samples(list(shards), repeat=True):
+        if stop_event.is_set():
+            return
+        try:
+            arr, _ = decode_audio(sample)
+        except Exception as exc:
+            print(f"[data] skipping npy sample: {exc}", flush=True)
+            continue
+        if len(buf) < shuffle_buffer:
+            buf.append(arr)
+            continue
+        # emit a random buffer slot, refill it with the new sample
+        j = int(rng.integers(len(buf)))
+        item, buf[j] = buf[j], arr
+        while not stop_event.is_set():
+            try:
+                out_queue.put(item, timeout=1.0)
+                break
+            except queue.Full:
+                continue
+
+
 class NpySideSource:
-    """Threaded infinite loader over npy tar shards (reference
-    NoiseDataManager / RIRDataManager, WebAudioDataModuleDenoiser.py:13-152)
-    with a small streaming shuffle."""
+    """Infinite loader over npy tar shards (reference NoiseDataManager /
+    RIRDataManager, WebAudioDataModuleDenoiser.py:13-152) with a small
+    streaming shuffle. Spawn processes by default (see module docstring)."""
 
     def __init__(
         self,
@@ -42,16 +74,31 @@ class NpySideSource:
         queue_size: int = 500,
         shuffle_buffer: int = 100,
         seed: int = 0,
+        backend: str = "process",  # "process" | "thread"
     ):
         self.shards = expand_shard_pattern(pattern)
-        self.queue: queue.Queue = queue.Queue(maxsize=queue_size)
-        self._stop = threading.Event()
-        self.shuffle_buffer = shuffle_buffer
-        self.seed = seed
-        self._threads = [
-            threading.Thread(target=self._worker, args=(i, num_workers), daemon=True)
-            for i in range(max(1, num_workers))
-        ]
+        self.backend = backend
+        if backend == "process":
+            self._ctx = mp.get_context("spawn")
+            self.queue = self._ctx.Queue(maxsize=queue_size)
+            self._stop = self._ctx.Event()
+        else:
+            self._ctx = None
+            self.queue = queue.Queue(maxsize=queue_size)
+            self._stop = threading.Event()
+        n = max(1, num_workers)
+        self._threads = []
+        for wid in range(n):
+            shards = self.shards[wid::n] or self.shards
+            args = (shards, seed + wid, shuffle_buffer, self.queue, self._stop)
+            if backend == "process":
+                self._threads.append(
+                    self._ctx.Process(target=_npy_side_worker, args=args, daemon=True)
+                )
+            else:
+                self._threads.append(
+                    threading.Thread(target=_npy_side_worker, args=args, daemon=True)
+                )
 
     def start(self):
         for t in self._threads:
@@ -60,31 +107,6 @@ class NpySideSource:
 
     def stop(self):
         self._stop.set()
-
-    def _worker(self, wid: int, n_workers: int):
-        shards = self.shards[wid::n_workers] or self.shards
-        rng = np.random.default_rng(self.seed + wid)
-        buf: list[np.ndarray] = []
-        for _, sample in iter_shard_samples(list(shards), repeat=True):
-            if self._stop.is_set():
-                return
-            try:
-                arr, _ = decode_audio(sample)
-            except Exception as exc:
-                print(f"[data] skipping npy sample: {exc}", flush=True)
-                continue
-            if len(buf) < self.shuffle_buffer:
-                buf.append(arr)
-                continue
-            # emit a random buffer slot, refill it with the new sample
-            j = int(rng.integers(len(buf)))
-            item, buf[j] = buf[j], arr
-            while not self._stop.is_set():
-                try:
-                    self.queue.put(item, timeout=1.0)
-                    break
-                except queue.Full:
-                    continue
 
     def __next__(self) -> np.ndarray:
         while True:
@@ -159,6 +181,7 @@ class DenoiseSampleSource:
         host_id: int = 0,
         num_hosts: int = 1,
         seed: int = 0,
+        backend: str = "process",
     ):
         self.sr = sr
         self.clip_len = int(sr * target_seconds)
@@ -177,14 +200,19 @@ class DenoiseSampleSource:
             host_id=host_id,
             num_hosts=num_hosts,
             seed=seed,
+            backend=backend,
         ).start()
         self.rirs = (
-            NpySideSource(rir_pattern, num_workers=4, seed=seed + 1).start()
+            NpySideSource(
+                rir_pattern, num_workers=4, seed=seed + 1, backend=backend
+            ).start()
             if self.with_rir
             else None
         )
         self.noise = (
-            NpySideSource(noise_pattern, num_workers=1, seed=seed + 2).start()
+            NpySideSource(
+                noise_pattern, num_workers=1, seed=seed + 2, backend=backend
+            ).start()
             if self.with_noise
             else None
         )

@@ -80,21 +80,24 @@ def param_sharding_rules(params, mesh: Mesh):
     (~300 M) variant and are exercised by the multichip dry-run.
     """
 
-    def rule(path: tuple[str, ...], leaf):
-        names = [getattr(p, "key", str(p)) for p in path]
-        joined = "/".join(names)
-        is_kernel = names[-1] == "kernel"
-        is_bias = names[-1] == "bias"
-        if "in_proj" in joined or "linear1" in joined:
-            if is_kernel:
-                return NamedSharding(mesh, P(None, MODEL_AXIS))
-            if is_bias:
-                return NamedSharding(mesh, P(MODEL_AXIS))
-        if ("out_proj" in joined or "linear2" in joined) and is_kernel:
-            return NamedSharding(mesh, P(MODEL_AXIS, None))
-        return NamedSharding(mesh, P())
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _tp_rule(path, mesh), params
+    )
 
-    return jax.tree_util.tree_map_with_path(rule, params)
+
+def _tp_rule(path, mesh: Mesh) -> NamedSharding:
+    names = [getattr(p, "key", str(p)) for p in path]
+    joined = "/".join(names)
+    is_kernel = names and names[-1] == "kernel"
+    is_bias = names and names[-1] == "bias"
+    if "in_proj" in joined or "linear1" in joined:
+        if is_kernel:
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        if is_bias:
+            return NamedSharding(mesh, P(MODEL_AXIS))
+    if ("out_proj" in joined or "linear2" in joined) and is_kernel:
+        return NamedSharding(mesh, P(MODEL_AXIS, None))
+    return NamedSharding(mesh, P())
 
 
 def shard_params(params, mesh: Mesh):
@@ -102,6 +105,18 @@ def shard_params(params, mesh: Mesh):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, s), params, param_sharding_rules(params, mesh)
     )
+
+
+def shard_train_state(state, mesh: Mesh):
+    """TP placement for a whole TrainState (params + EMA teacher + optimizer
+    moments + step counter). The Megatron rules key on tree-path names, and
+    optax moment trees (mu/nu) carry the parameter path as a suffix, so one
+    path-based rule pass shards params, teacher, and moments consistently;
+    scalars (step, count) come out replicated."""
+    shardings = jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _tp_rule(path, mesh), state
+    )
+    return jax.tree.map(jax.device_put, state, shardings)
 
 
 def initialize_multihost(

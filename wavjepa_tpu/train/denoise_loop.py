@@ -194,11 +194,14 @@ def train_denoiser(
 
     rng = jax.random.PRNGKey(cfg.trainer.seed + 1)
     throughput.start()
-    for _ in range(int(state.step), total):
+    # host-side step counter — see train/loop.py: fetching state.step every
+    # iteration would stall async dispatch
+    step = int(state.step)
+    for _ in range(step, total):
         batch = next(data_iter)
         batch = {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
         state, metrics = step_fn(state, teacher_params, batch, rng)
-        step = int(state.step)
+        step += 1
         if step % cfg.trainer.log_every == 0 or step == total:
             vals = {k: float(v) for k, v in metrics.items()}
             vals.update(throughput.step())

@@ -1,0 +1,66 @@
+"""Analytic FLOP counts for the JEPA training step, for MFU reporting.
+
+Counts USEFUL model FLOPs (matmul/conv multiply-adds ×2): student forward +
+teacher forward + backward (2× student forward) — the standard MFU
+convention, which excludes rematerialization recompute and elementwise ops.
+MFU = (flops/step) / step_time / peak_flops. v5e peak is 197 bf16 TFLOP/s.
+"""
+
+from __future__ import annotations
+
+V5E_PEAK_FLOPS = 197e12  # bf16
+
+
+def conv_output_lengths(conv_spec, in_len: int) -> list[int]:
+    outs = []
+    t = in_len
+    for _, k, s in conv_spec:
+        t = (t - k) // s + 1
+        outs.append(t)
+    return outs
+
+
+def conv_frontend_flops(conv_spec, in_len: int, in_channels: int = 1) -> int:
+    flops, cin, t = 0, in_channels, in_len
+    for cout, k, s in conv_spec:
+        t = (t - k) // s + 1
+        flops += 2 * t * cout * k * cin
+        cin = cout
+    return flops
+
+
+def transformer_layer_flops(t: int, d: int, ff: int) -> int:
+    proj = 2 * t * d * (3 * d)  # packed QKV
+    out = 2 * t * d * d
+    attn = 2 * 2 * t * t * d  # QK^T + AV across all heads
+    mlp = 2 * 2 * t * d * ff
+    return proj + out + attn + mlp
+
+
+def jepa_forward_flops(cfg, n_targets: int = 4) -> dict:
+    """Per-crop forward FLOPs by component for a JEPAConfig-like object."""
+    t = cfg.total_patches
+    conv = conv_frontend_flops(cfg.conv_spec, cfg.target_length, cfg.in_channels)
+    mapper = 2 * t * cfg.embedding_dim * cfg.encoder_dim
+    enc = cfg.encoder_layers * transformer_layer_flops(
+        t, cfg.encoder_dim, int(cfg.encoder_dim * cfg.mlp_ratio)
+    )
+    e2d = 2 * t * cfg.encoder_dim * cfg.decoder_dim
+    dec = n_targets * cfg.decoder_layers * transformer_layer_flops(
+        t, cfg.decoder_dim, int(cfg.decoder_dim * cfg.mlp_ratio)
+    )
+    d2e = n_targets * 2 * t * cfg.decoder_dim * cfg.encoder_dim
+    student = conv + mapper + enc + e2d + dec + d2e
+    teacher = conv + mapper + enc  # EMA encoder re-runs the same stack
+    return {"student": student, "teacher": teacher}
+
+
+def jepa_step_flops(cfg, n_crops: int, n_targets: int = 4) -> int:
+    """Useful FLOPs of one train step at `n_crops` crops: student fwd +
+    teacher fwd + 2× student fwd (backward)."""
+    f = jepa_forward_flops(cfg, n_targets)
+    return n_crops * (3 * f["student"] + f["teacher"])
+
+
+def mfu(flops_per_step: int, step_seconds: float, peak: float = V5E_PEAK_FLOPS) -> float:
+    return flops_per_step / step_seconds / peak
