@@ -47,7 +47,13 @@ def main():
     batch_clips = int(os.environ.get("BENCH_CLIPS", "32")) * n_chips
     n_crops = 8
 
-    cfg = JEPAConfig(dtype=jnp.bfloat16)
+    # visible-token packing (models/jepa.py:_student_forward_packed) is the
+    # flagship config's default, same derivation as train.py (96/160 at the
+    # AudioSet masker); PACK=0 disables for A/B runs
+    if os.environ.get("PACK", "1") != "0":
+        cfg = JEPAConfig(dtype=jnp.bfloat16, pack_encoder=96, pack_decoder=160)
+    else:
+        cfg = JEPAConfig(dtype=jnp.bfloat16)
     model = JEPA(cfg)
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 1, cfg.target_length))

@@ -92,6 +92,27 @@ class JEPAConfig:
     average_top_k_layers: int = 8
     # positions: "time" (1-D sincos over all tokens) | "binaural"
     pos_embed: str = "time"
+    # --- visible-token packing (training-only, None = off) ---
+    # The reference runs encoder AND decoder on all `total_patches` tokens
+    # with key-padding masks, but under the AudioSet time-inverse masker the
+    # encoder only ever *uses* ~39 visible context tokens (max 87 over 82k
+    # samples) and each decoder group ~85 (bounded above by
+    # pack_encoder + max target coverage). Packing visible tokens into a
+    # static P-slot buffer is exact (same keys, same per-token math; unused
+    # rows dropped) and attacks the measured v5e wall: batched per-(b,h)
+    # attention costs ~(#N-tiles × M rows) MXU cycles, so halving T more
+    # than halves attention time, and all linear FLOPs scale with P/T.
+    # pack_encoder must be canonicalized-enforced by the caller
+    # (train/step.py flips excess visible ctx tokens to masked — p<1e-12 at
+    # the AudioSet config); pack_decoder must be >= pack_encoder + the
+    # masker's max target coverage so it is always exact.
+    pack_encoder: Optional[int] = None
+    pack_decoder: Optional[int] = None
+    # per-stack remat overrides (None → follow `remat`). With packing the
+    # encoder's residuals shrink ~(96/200)², so remat_encoder=False trades
+    # ~1 GB of saved residuals for skipping the encoder backward replay.
+    remat_encoder: Optional[bool] = None
+    remat_decoder: Optional[bool] = None
     # precision
     dtype: Any = jnp.float32
     # remat defaults ON: without it the train step stores every layer's
@@ -185,6 +206,8 @@ class JEPA(nn.Module):
             else None
         )
         mlp = lambda d: int(d * cfg.mlp_ratio)
+        remat_enc = cfg.remat if cfg.remat_encoder is None else cfg.remat_encoder
+        remat_dec = cfg.remat if cfg.remat_decoder is None else cfg.remat_decoder
         self.encoder = TransformerEncoder(
             num_layers=cfg.encoder_layers,
             embed_dim=cfg.encoder_dim,
@@ -192,7 +215,7 @@ class JEPA(nn.Module):
             mlp_dim=mlp(cfg.encoder_dim),
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=cfg.dtype,
-            remat=cfg.remat,
+            remat=remat_enc,
             attn_impl=resolve_attn_impl(cfg.attn_impl),
             name="encoder",
         )
@@ -203,7 +226,7 @@ class JEPA(nn.Module):
             mlp_dim=mlp(cfg.decoder_dim),
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=cfg.dtype,
-            remat=cfg.remat,
+            remat=remat_dec,
             attn_impl=resolve_attn_impl(cfg.attn_impl),
             name="decoder",
         )
@@ -271,6 +294,10 @@ class JEPA(nn.Module):
         """
         b, t, _ = local_features.shape
         n = ctx_and_target_mask.shape[1]
+        if self.config.pack_encoder is not None:
+            return self._student_forward_packed(
+                local_features, ctx_mask, ctx_and_target_mask
+            )
         enc_out = self.encoder(local_features, key_padding_mask=ctx_mask)
         projected = self.encoder_to_decoder_mapper(enc_out)  # (B, T, D_dec)
         mask_tok = self.mask_token.astype(projected.dtype)
@@ -284,6 +311,66 @@ class JEPA(nn.Module):
         dec_out = self.decoder(dec_in, key_padding_mask=kpm)
         preds = self.decoder_to_encoder_mapper(dec_out)
         return preds.reshape(b, n, t, -1)
+
+    def _student_forward_packed(
+        self,
+        local_features: jax.Array,
+        ctx_mask: jax.Array,
+        ctx_and_target_mask: jax.Array,
+    ) -> jax.Array:
+        """student_forward with visible tokens gathered into static P-slot
+        buffers (see JEPAConfig.pack_encoder). Numerically equivalent to the
+        unpacked path at used positions: attention runs over the same visible
+        key sets, per-token norms/MLPs are position-independent, and outputs
+        at positions outside the pack are zero — the masked loss never reads
+        them (targets are always packed).
+
+        Requires per-row visible counts <= pack sizes: ctx visible <=
+        pack_encoder (caller-canonicalized), group visible <= pack_decoder
+        (structural for the time-inverse masker)."""
+        cfg = self.config
+        b, t, _ = local_features.shape
+        n = ctx_and_target_mask.shape[1]
+        pe, pd = cfg.pack_encoder, cfg.pack_decoder
+
+        # ---- encoder on packed visible-context tokens ----
+        # stable bool argsort: visible (False) first, position order kept
+        order_e = jnp.argsort(ctx_mask, axis=-1, stable=True)[:, :pe]  # (B,Pe)
+        valid_e = jnp.take_along_axis(~ctx_mask, order_e, axis=-1)  # (B,Pe)
+        xe = jnp.take_along_axis(local_features, order_e[..., None], axis=1)
+        enc_out = self.encoder(xe, key_padding_mask=~valid_e)  # (B,Pe,D)
+        projected = self.encoder_to_decoder_mapper(enc_out)  # (B,Pe,Dd)
+
+        # ---- scatter into the mask-token canvas, add positions ----
+        dd = projected.shape[-1]
+        mask_tok = self.mask_token.astype(projected.dtype)
+        base = jnp.broadcast_to(mask_tok, (b, t, dd))
+        scatter_e = jnp.where(valid_e, order_e, t)  # invalid slots -> dropped
+        canvas = jax.vmap(lambda c, i, p: c.at[i].set(p, mode="drop"))(
+            base, scatter_e, projected
+        )
+        dec_in = canvas + self.pos_encoding_decoder.astype(canvas.dtype)
+
+        # ---- decoder on packed (context ∪ group-target) tokens ----
+        order_d = jnp.argsort(ctx_and_target_mask, axis=-1, stable=True)[..., :pd]
+        valid_d = jnp.take_along_axis(~ctx_and_target_mask, order_d, axis=-1)
+        dec_g = jnp.take_along_axis(
+            jnp.broadcast_to(dec_in[:, None], (b, n, t, dd)),
+            order_d[..., None],
+            axis=2,
+        ).reshape(b * n, pd, dd)
+        kpm = (~valid_d).reshape(b * n, pd)
+        dec_out = self.decoder(dec_g, key_padding_mask=kpm)
+        preds_p = self.decoder_to_encoder_mapper(dec_out)  # (B·N,Pd,De)
+
+        # ---- scatter predictions back to the full token grid ----
+        de = preds_p.shape[-1]
+        scatter_d = jnp.where(valid_d, order_d, t).reshape(b * n, pd)
+        zeros = jnp.zeros((b * n, t, de), preds_p.dtype)
+        preds = jax.vmap(lambda z, i, p: z.at[i].set(p, mode="drop"))(
+            zeros, scatter_d, preds_p
+        )
+        return preds.reshape(b, n, t, de)
 
     # ---------------------------------------------------------------- teacher
 

@@ -123,6 +123,11 @@ class TrainerConfig:
     # remat must stay on for the base config at batch 256 on 16 GB chips
     # (see models/jepa.py JEPAConfig.remat)
     remat: bool = True
+    # visible-token packing (JEPAConfig.pack_encoder/pack_decoder):
+    # "auto" derives static pack sizes from the time-inverse masker config
+    # (exact — see models/jepa.py:_student_forward_packed); "off" disables.
+    # Speech-masker runs get no packing (its context is ~90% of tokens).
+    pack_tokens: str = "auto"
     ckpt_every: int = 25_000
     keep_ckpts: int = 0  # 0 = keep all (reference save_top_k=-1)
     log_every: int = 50
@@ -162,8 +167,43 @@ class Config:
             ]
         )
 
+    def packing_bounds(self, total_patches: int) -> tuple:
+        """(pack_encoder, pack_decoder) for the time-inverse masker, or
+        (None, None). Encoder budget: ~0.48·T rounded up to 8 (measured max
+        visible 87 @ T=200 over 82k samples; the train step canonicalizes
+        the astronomically-rare overflow). Decoder budget: encoder budget +
+        the masker's maximum target coverage — a hard bound, so decoder
+        packing is always exact."""
+        m = self.masker
+        if self.trainer.pack_tokens != "auto" or m.name != "time-inverse":
+            return None, None
+        c = self.data.in_channels if m.channel_based_masking else 1
+        c = max(1, c)
+        t = total_patches // c
+        pe = min(t, -(-int(0.48 * t) // 8) * 8)
+        if pe >= t:
+            return None, None
+        max_tgt = (
+            int(m.target_prob * t / m.target_length) + 1
+        ) * m.target_length
+        pd = min(t, -(-(pe + max_tgt) // 8) * 8)
+        return pe * c, pd * c
+
     def build_model_config(self):
         """Assemble the JEPAConfig for this run."""
+        import dataclasses as _dc
+
+        import jax.numpy as jnp
+
+        from wavjepa_tpu.models.jepa import JEPAConfig
+
+        cfg = self._base_model_config()
+        pe, pd = self.packing_bounds(cfg.total_patches)
+        if pe is not None:
+            cfg = _dc.replace(cfg, pack_encoder=pe, pack_decoder=pd)
+        return cfg
+
+    def _base_model_config(self):
         import jax.numpy as jnp
 
         from wavjepa_tpu.models.jepa import JEPAConfig

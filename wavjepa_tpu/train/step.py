@@ -179,6 +179,17 @@ def make_jepa_train_step(
             k_mask, batch_size=b * s, n_times=total_patches,
             in_channels=cfg.in_channels, cfg=masker_cfg,
         )
+        if cfg.pack_encoder is not None:
+            # canonicalize for visible-token packing: flip context-visible
+            # tokens beyond the pack_encoder budget back to masked
+            # (positionally-last excess; never observed at the AudioSet
+            # config — max 87 visible over 82k samples vs budget 96 — but
+            # required for the packed gather to stay exact). Targets live in
+            # the masked region, so the XOR-rebuilt visibility stays
+            # consistent (reference masking.py:116 convention).
+            over = jnp.cumsum(~ctx_mask, axis=-1) > cfg.pack_encoder
+            ctx_mask = ctx_mask | over
+            visible_masks = jnp.logical_xor(ctx_mask[:, None, :], target_masks)
 
         # --- loss, grads, update ---
         loss, grads = jax.value_and_grad(jepa_loss_fn, argnums=1)(

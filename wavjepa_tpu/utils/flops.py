@@ -38,20 +38,28 @@ def transformer_layer_flops(t: int, d: int, ff: int) -> int:
 
 
 def jepa_forward_flops(cfg, n_targets: int = 4) -> dict:
-    """Per-crop forward FLOPs by component for a JEPAConfig-like object."""
+    """Per-crop forward FLOPs by component for a JEPAConfig-like object.
+
+    Honors visible-token packing (pack_encoder/pack_decoder): FLOPs count
+    the work actually executed, so packed runs don't report inflated MFU."""
     t = cfg.total_patches
+    pe = getattr(cfg, "pack_encoder", None) or t
+    pd = getattr(cfg, "pack_decoder", None) or t
     conv = conv_frontend_flops(cfg.conv_spec, cfg.target_length, cfg.in_channels)
     mapper = 2 * t * cfg.embedding_dim * cfg.encoder_dim
-    enc = cfg.encoder_layers * transformer_layer_flops(
+    enc_full = cfg.encoder_layers * transformer_layer_flops(
         t, cfg.encoder_dim, int(cfg.encoder_dim * cfg.mlp_ratio)
     )
-    e2d = 2 * t * cfg.encoder_dim * cfg.decoder_dim
-    dec = n_targets * cfg.decoder_layers * transformer_layer_flops(
-        t, cfg.decoder_dim, int(cfg.decoder_dim * cfg.mlp_ratio)
+    enc_student = cfg.encoder_layers * transformer_layer_flops(
+        pe, cfg.encoder_dim, int(cfg.encoder_dim * cfg.mlp_ratio)
     )
-    d2e = n_targets * 2 * t * cfg.decoder_dim * cfg.encoder_dim
-    student = conv + mapper + enc + e2d + dec + d2e
-    teacher = conv + mapper + enc  # EMA encoder re-runs the same stack
+    e2d = 2 * pe * cfg.encoder_dim * cfg.decoder_dim
+    dec = n_targets * cfg.decoder_layers * transformer_layer_flops(
+        pd, cfg.decoder_dim, int(cfg.decoder_dim * cfg.mlp_ratio)
+    )
+    d2e = n_targets * 2 * pd * cfg.decoder_dim * cfg.encoder_dim
+    student = conv + mapper + enc_student + e2d + dec + d2e
+    teacher = conv + mapper + enc_full  # EMA teacher always runs full length
     return {"student": student, "teacher": teacher}
 
 
