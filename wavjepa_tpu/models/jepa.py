@@ -352,8 +352,17 @@ class JEPA(nn.Module):
         dec_in = canvas + self.pos_encoding_decoder.astype(canvas.dtype)
 
         # ---- decoder on packed (context ∪ group-target) tokens ----
-        order_d = jnp.argsort(ctx_and_target_mask, axis=-1, stable=True)[..., :pd]
-        valid_d = jnp.take_along_axis(~ctx_and_target_mask, order_d, axis=-1)
+        # targets-first pack order: rank 0 = target (visible ∧ non-context),
+        # 1 = visible context, 2 = masked. Guarantees loss-read target
+        # positions are ALWAYS packed; if a rare group's visible count
+        # exceeds pack_decoder (p≲1e-4 at the AudioSet config with the
+        # aggressive 128 budget), only its positionally-last context tokens
+        # fall out of that group's key set.
+        visible_d = ~ctx_and_target_mask  # (B, N, T)
+        is_target = visible_d & ctx_mask[:, None, :]
+        rank = jnp.where(is_target, 0, jnp.where(visible_d, 1, 2)).astype(jnp.int8)
+        order_d = jnp.argsort(rank, axis=-1, stable=True)[..., :pd]
+        valid_d = jnp.take_along_axis(visible_d, order_d, axis=-1)
         dec_g = jnp.take_along_axis(
             jnp.broadcast_to(dec_in[:, None], (b, n, t, dd)),
             order_d[..., None],

