@@ -396,11 +396,18 @@ class JEPA(nn.Module):
         outs = self.encoder.layer_outputs(local_features)[-k:]
         if k <= 1:
             return outs[-1]
-        stacked = jnp.stack(outs).astype(jnp.float32)  # (k, B, T, D)
-        mean = jnp.mean(stacked, axis=(2, 3), keepdims=True)
-        var = jnp.var(stacked, axis=(2, 3), keepdims=True)
-        normed = (stacked - mean) * jax.lax.rsqrt(var + 1e-5)
-        return jnp.mean(normed, axis=0)  # (B, T, D)
+        # incremental mean of per-layer instance-normed outputs — identical
+        # math to stacking all k then normalizing (stats are per layer), but
+        # never materializes the (k, B, T, D) f32 stack (2.5 GB at the bench
+        # batch)
+        acc = None
+        for x in outs:
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+            var = jnp.var(x32, axis=(1, 2), keepdims=True)
+            normed = (x32 - mean) * jax.lax.rsqrt(var + 1e-5)
+            acc = normed if acc is None else acc + normed
+        return acc / k  # (B, T, D)
 
     # ---------------------------------------------------------------- inference
 
