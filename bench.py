@@ -48,10 +48,17 @@ def main():
     n_crops = 8
 
     # visible-token packing (models/jepa.py:_student_forward_packed) is the
-    # flagship config's default, same derivation as train.py (96/128 at the
+    # flagship config's default, same derivation as train.py (88/128 at the
     # AudioSet masker; targets-first order); PACK=0 disables for A/B runs
     if os.environ.get("PACK", "1") != "0":
-        cfg = JEPAConfig(dtype=jnp.bfloat16, pack_encoder=96, pack_decoder=128)
+        cfg = JEPAConfig(
+            dtype=jnp.bfloat16,
+            pack_encoder=88,
+            pack_decoder=128,
+            # packing frees the HBM these backward replays traded for
+            remat_conv=False,
+            remat_encoder=False,
+        )
     else:
         cfg = JEPAConfig(dtype=jnp.bfloat16)
     model = JEPA(cfg)

@@ -171,3 +171,21 @@ def test_sequence_probe_with_lstm():
                 max_num_epochs=25, batch_size=7)
     metrics = probe.evaluate((x[14:], y[14:]))
     assert metrics["accuracy"] >= 0.7
+
+
+def test_download_registry_covers_all_recipes(tmp_path, capsys):
+    """ARCH data_download counterpart: every recipe has a registry entry and
+    the dry-run plan is printable without network access."""
+    from wavjepa_tpu.eval.arch import download as dl
+
+    assert len(dl.REGISTRY) == 12
+    for name, spec in dl.REGISTRY.items():
+        assert spec.archives, name
+        for arc in spec.archives:
+            assert arc.url.startswith("http"), (name, arc.url)
+    rc = dl.main(["--all", "--root", str(tmp_path / "ds"), "--dry-run"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "esc50" in out and "fetch" in out
+    # dry-run must not create anything
+    assert not (tmp_path / "ds").exists()

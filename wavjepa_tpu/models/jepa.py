@@ -113,6 +113,14 @@ class JEPAConfig:
     # ~1 GB of saved residuals for skipping the encoder backward replay.
     remat_encoder: Optional[bool] = None
     remat_decoder: Optional[bool] = None
+    # conv-frontend remat override: disabling stores every conv block output
+    # (~3.3 GB at the bench batch) but skips the ~45 ms backward replay of
+    # the whole frontend
+    remat_conv: Optional[bool] = None
+    # keep attention probabilities as remat residuals (ops/transformer.py
+    # TransformerEncoder.remat_save_probs) — skips the logits+softmax
+    # backward replay for ~5.5 GB extra HBM at the packed bench config
+    remat_save_probs: bool = False
     # precision
     dtype: Any = jnp.float32
     # remat defaults ON: without it the train step stores every layer's
@@ -174,6 +182,7 @@ class JEPA(nn.Module):
 
     def setup(self):
         cfg = self.config
+        remat_conv = cfg.remat if cfg.remat_conv is None else cfg.remat_conv
         if cfg.extractor == "conv_channel":
             self.extract_audio = ConvChannelFeatureExtractor(
                 conv_spec=cfg.conv_spec,
@@ -182,7 +191,7 @@ class JEPA(nn.Module):
                 conv_bias=cfg.conv_bias,
                 share_weights=cfg.share_weights_over_channels,
                 dtype=cfg.dtype,
-                remat=cfg.remat,
+                remat=remat_conv,
             )
         else:
             self.extract_audio = ConvFeatureExtractor(
@@ -191,7 +200,7 @@ class JEPA(nn.Module):
                 mode=cfg.extractor_mode,
                 conv_bias=cfg.conv_bias,
                 dtype=cfg.dtype,
-                remat=cfg.remat,
+                remat=remat_conv,
             )
         # reference: nn.LayerNorm(extract_audio.embedding_dim), default eps 1e-5
         self.feature_norms = LayerNorm32(eps=1e-5, dtype=cfg.dtype, name="feature_norms")
@@ -216,6 +225,7 @@ class JEPA(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=cfg.dtype,
             remat=remat_enc,
+            remat_save_probs=cfg.remat_save_probs,
             attn_impl=resolve_attn_impl(cfg.attn_impl),
             name="encoder",
         )
@@ -227,6 +237,7 @@ class JEPA(nn.Module):
             layer_norm_eps=cfg.layer_norm_eps,
             dtype=cfg.dtype,
             remat=remat_dec,
+            remat_save_probs=cfg.remat_save_probs,
             attn_impl=resolve_attn_impl(cfg.attn_impl),
             name="decoder",
         )
@@ -328,6 +339,29 @@ class JEPA(nn.Module):
         Requires per-row visible counts <= pack sizes: ctx visible <=
         pack_encoder (caller-canonicalized), group visible <= pack_decoder
         (structural for the time-inverse masker)."""
+        preds_p, order_d, valid_d = self._packed_predictions(
+            local_features, ctx_mask, ctx_and_target_mask
+        )
+        b, t, _ = local_features.shape
+        n = ctx_and_target_mask.shape[1]
+        pd = self.config.pack_decoder
+        # ---- scatter predictions back to the full token grid ----
+        de = preds_p.shape[-1]
+        scatter_d = jnp.where(valid_d, order_d, t).reshape(b * n, pd)
+        zeros = jnp.zeros((b * n, t, de), preds_p.dtype)
+        preds = jax.vmap(lambda z, i, p: z.at[i].set(p, mode="drop"))(
+            zeros, scatter_d, preds_p
+        )
+        return preds.reshape(b, n, t, de)
+
+    def _packed_predictions(
+        self,
+        local_features: jax.Array,
+        ctx_mask: jax.Array,
+        ctx_and_target_mask: jax.Array,
+    ):
+        """Packed encoder→decoder pass; returns (preds_p (B·N, Pd, D_enc),
+        order_d (B, N, Pd) token indices, valid_d (B, N, Pd))."""
         cfg = self.config
         b, t, _ = local_features.shape
         n = ctx_and_target_mask.shape[1]
@@ -371,15 +405,42 @@ class JEPA(nn.Module):
         kpm = (~valid_d).reshape(b * n, pd)
         dec_out = self.decoder(dec_g, key_padding_mask=kpm)
         preds_p = self.decoder_to_encoder_mapper(dec_out)  # (B·N,Pd,De)
+        return preds_p, order_d, valid_d
 
-        # ---- scatter predictions back to the full token grid ----
-        de = preds_p.shape[-1]
-        scatter_d = jnp.where(valid_d, order_d, t).reshape(b * n, pd)
-        zeros = jnp.zeros((b * n, t, de), preds_p.dtype)
-        preds = jax.vmap(lambda z, i, p: z.at[i].set(p, mode="drop"))(
-            zeros, scatter_d, preds_p
+    def packed_prediction_loss(
+        self,
+        local_features: jax.Array,
+        ctx_mask: jax.Array,
+        ctx_and_target_mask: jax.Array,
+        targets: jax.Array,
+        target_masks: jax.Array,
+    ) -> jax.Array:
+        """Masked MSE computed in packed space: instead of scattering
+        predictions back to the full (B, N, T, D) grid and reading it with a
+        full-grid mask (masked_prediction_loss), gather the teacher targets
+        into the packed layout. Same result — targets are always packed
+        (targets-first order) and non-target packed positions get zero
+        weight; the normalizer uses the full target count like the
+        reference (jepa.py:335-362)."""
+        preds_p, order_d, valid_d = self._packed_predictions(
+            local_features, ctx_mask, ctx_and_target_mask
         )
-        return preds.reshape(b, n, t, de)
+        b, n, pd = order_d.shape
+        tgt_p = jnp.take_along_axis(
+            jnp.broadcast_to(
+                targets[:, None], (b, n) + targets.shape[1:]
+            ),
+            order_d[..., None],
+            axis=2,
+        )  # (B, N, Pd, D)
+        w_p = jnp.take_along_axis(target_masks, order_d, axis=-1) & valid_d
+        diff = preds_p.reshape(b, n, pd, -1).astype(jnp.float32) - tgt_p.astype(
+            jnp.float32
+        )
+        per = jnp.mean(jnp.square(diff), axis=-1)  # (B, N, Pd)
+        num = jnp.sum(per * w_p.astype(jnp.float32))
+        den = jnp.sum(target_masks.astype(jnp.float32)) + 1e-8
+        return num / den
 
     # ---------------------------------------------------------------- teacher
 

@@ -72,6 +72,10 @@ def dot_product_attention(
     # optimization_barrier before the f32 softmax is 1.5% SLOWER — XLA's
     # fusion choice here is already the right one)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    # named so a remat policy can keep the probabilities as residuals: the
+    # backward then skips the logits+softmax recompute entirely (the
+    # dominant replay cost — see PERF.md), at (B·H·T·T) bf16 of memory
+    weights = checkpoint_name(weights, "attn_probs")
     return jnp.einsum(
         "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
     ).astype(dtype)
@@ -264,14 +268,21 @@ class TransformerEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    # additionally keep the (B, H, T, T) attention probabilities as remat
+    # residuals — backward skips the logits+softmax replay (~100 ms/step at
+    # the packed bench config) for B·H·T·T bf16 extra HBM
+    remat_save_probs: bool = False
     attn_impl: str = "einsum"
 
     def setup(self):
         layer = TransformerEncoderLayer
         if self.remat:
+            names = ("attn_out", "attn_probs") if self.remat_save_probs else (
+                "attn_out",
+            )
             layer = nn.remat(
                 TransformerEncoderLayer,
-                policy=jax.checkpoint_policies.save_only_these_names("attn_out"),
+                policy=jax.checkpoint_policies.save_only_these_names(*names),
             )
         self.layers = [
             layer(

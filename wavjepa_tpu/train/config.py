@@ -123,6 +123,13 @@ class TrainerConfig:
     # remat must stay on for the base config at batch 256 on 16 GB chips
     # (see models/jepa.py JEPAConfig.remat)
     remat: bool = True
+    # per-stack remat overrides (None = auto: when packing is enabled the
+    # freed HBM is spent disabling conv-frontend and encoder remat — skips
+    # their backward replays, measured 842 -> 794 ms; decoder remat stays on,
+    # its probs/residuals don't fit)
+    remat_conv: Optional[bool] = None
+    remat_encoder: Optional[bool] = None
+    remat_decoder: Optional[bool] = None
     # visible-token packing (JEPAConfig.pack_encoder/pack_decoder):
     # "auto" derives static pack sizes from the time-inverse masker config
     # and snaps the decoder budget to 128 for the single-MXU-N-tile regime
@@ -171,9 +178,9 @@ class Config:
 
     def packing_bounds(self, total_patches: int) -> tuple:
         """(pack_encoder, pack_decoder) for the time-inverse masker, or
-        (None, None). Encoder budget: ~0.48·T rounded up to 8 (measured max
-        visible 87 @ T=200 over 82k samples; the train step canonicalizes
-        the astronomically-rare overflow). Decoder budget: encoder budget +
+        (None, None). Encoder budget: ~0.44·T rounded up to 8 (= 88 at
+        T=200, covering the measured max of 87 visible over 82k samples;
+        the train step canonicalizes the astronomically-rare overflow). Decoder budget: encoder budget +
         the masker's maximum target coverage — a hard bound, so decoder
         packing is always exact."""
         m = self.masker
@@ -182,7 +189,7 @@ class Config:
         c = self.data.in_channels if m.channel_based_masking else 1
         c = max(1, c)
         t = total_patches // c
-        pe = min(t, -(-int(0.48 * t) // 8) * 8)
+        pe = min(t, -(-int(0.44 * t) // 8) * 8)
         if pe >= t:
             return None, None
         max_tgt = (
@@ -210,6 +217,19 @@ class Config:
         pe, pd = self.packing_bounds(cfg.total_patches)
         if pe is not None:
             cfg = _dc.replace(cfg, pack_encoder=pe, pack_decoder=pd)
+        tr = self.trainer
+        remat_conv = tr.remat_conv
+        remat_enc = tr.remat_encoder
+        if pe is not None and tr.remat:
+            # packing freed the HBM these replays were trading for
+            remat_conv = False if remat_conv is None else remat_conv
+            remat_enc = False if remat_enc is None else remat_enc
+        cfg = _dc.replace(
+            cfg,
+            remat_conv=remat_conv,
+            remat_encoder=remat_enc,
+            remat_decoder=tr.remat_decoder,
+        )
         return cfg
 
     def _base_model_config(self):

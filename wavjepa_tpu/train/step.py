@@ -103,9 +103,6 @@ def jepa_loss_fn(
 ) -> jax.Array:
     """Student prediction loss against stop-gradient EMA-teacher targets."""
     feats = model.apply({"params": params}, crops, method="encode_features")
-    preds = model.apply(
-        {"params": params}, feats, ctx_mask, visible_masks, method="student_forward"
-    )
     teacher_params = dict(params)
     teacher_params["encoder"] = teacher_encoder
     targets = model.apply(
@@ -113,7 +110,23 @@ def jepa_loss_fn(
         jax.lax.stop_gradient(feats),
         method="teacher_forward",
     )
-    return masked_prediction_loss(preds, jax.lax.stop_gradient(targets), target_masks)
+    targets = jax.lax.stop_gradient(targets)
+    if model.config.pack_encoder is not None:
+        # packed-space loss: gathers targets into the packed layout instead
+        # of scattering predictions to the full grid (models/jepa.py)
+        return model.apply(
+            {"params": params},
+            feats,
+            ctx_mask,
+            visible_masks,
+            targets,
+            target_masks,
+            method="packed_prediction_loss",
+        )
+    preds = model.apply(
+        {"params": params}, feats, ctx_mask, visible_masks, method="student_forward"
+    )
+    return masked_prediction_loss(preds, targets, target_masks)
 
 
 def make_jepa_train_step(
