@@ -124,3 +124,56 @@ class TestPackedStudentForward:
         assert np.isfinite(losses).all()
         # same key → same crops/masks; packing is numerics-equivalent
         assert abs(losses[0] - losses[1]) < 5e-4 * max(1.0, abs(losses[0])), losses
+
+
+class TestPackedChannelTiled:
+    """Packing under channel-based masking (WavJEPA-Nat): masks are tiled
+    channel-major over C·T tokens; the packed gather operates on the
+    flattened token axis and must match the unpacked path."""
+
+    def test_packed_matches_unpacked_binaural(self):
+        cfg_full = dataclasses.replace(
+            BASE,
+            in_channels=2,
+            extractor="conv_channel",
+            pos_embed="binaural",
+        )
+        t_total = cfg_full.total_patches
+        t_per = t_total // 2
+        pe_per = 96 if t_per >= 96 else t_per
+        pd_per = min(t_per, pe_per + 60)
+        cfg_packed = dataclasses.replace(
+            cfg_full, pack_encoder=2 * pe_per, pack_decoder=2 * pd_per
+        )
+        model_full, model_packed = JEPA(cfg_full), JEPA(cfg_packed)
+        key = jax.random.PRNGKey(0)
+        params = model_full.init(
+            key, jnp.zeros((1, 2, cfg_full.target_length))
+        )["params"]
+
+        mask_cfg = dataclasses.replace(MASK_CFG, channel_based_masking=True)
+        ctx, tgt, vis = time_inverse_block_masks(
+            jax.random.PRNGKey(5), batch_size=3, n_times=t_total,
+            in_channels=2, cfg=mask_cfg,
+        )
+        over = jnp.cumsum(~ctx, axis=-1) > cfg_packed.pack_encoder
+        ctx = ctx | over
+        vis = jnp.logical_xor(ctx[:, None, :], tgt)
+        assert int(jnp.max(jnp.sum(~vis, -1))) <= cfg_packed.pack_decoder
+
+        audio = np.random.default_rng(2).normal(
+            size=(3, 2, cfg_full.target_length)
+        ).astype(np.float32)
+        feats = model_full.apply(
+            {"params": params}, jnp.asarray(audio), method="encode_features"
+        )
+        ref = model_full.apply(
+            {"params": params}, feats, ctx, vis, method="student_forward"
+        )
+        packed = model_packed.apply(
+            {"params": params}, feats, ctx, vis, method="student_forward"
+        )
+        tmask = np.asarray(tgt)
+        np.testing.assert_allclose(
+            np.asarray(packed)[tmask], np.asarray(ref)[tmask], atol=2e-5, rtol=1e-4
+        )

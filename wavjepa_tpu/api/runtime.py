@@ -124,7 +124,10 @@ class RuntimeJEPA:
         # than embedding (VERDICT r1 weak #7). Dummy rows are zero audio with
         # fully-True step masks; their outputs are sliced off below.
         n_rows = chunks.shape[0]
-        bucket = 1 << (n_rows - 1).bit_length()
+        # small counts (single clips) run at their exact shape — at most 8
+        # cached programs, and padding a lone clip to the bucket costs real
+        # latency (measured +50 ms p50); sweeps with many windows bucket.
+        bucket = n_rows if n_rows <= 8 else 1 << (n_rows - 1).bit_length()
         if bucket != n_rows:
             chunks = np.concatenate(
                 [chunks, np.zeros((bucket - n_rows,) + chunks.shape[1:], chunks.dtype)]
