@@ -61,3 +61,22 @@ def test_run_identity_stable():
     cfg = load_config(None)
     ident = cfg.run_identity()
     assert "Data=AudioSet" in ident and "ModelSize=base" in ident
+
+
+def test_prefetch_to_device_preserves_order_and_shards():
+    import jax
+    import numpy as np
+
+    from wavjepa_tpu.parallel.mesh import make_mesh
+    from wavjepa_tpu.train.loop import prefetch_to_device
+
+    mesh = make_mesh()
+    batches = [np.full((len(jax.devices()), 3), i, np.float32) for i in range(5)]
+    out = list(prefetch_to_device(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        assert float(np.asarray(b)[0, 0]) == float(i)
+    # dict batches (Nat/denoise) shard per-leaf
+    dicts = [{"a": np.ones((len(jax.devices()), 2), np.float32) * i} for i in range(3)]
+    out = list(prefetch_to_device(iter(dicts), mesh, size=2))
+    assert len(out) == 3 and float(np.asarray(out[2]["a"])[0, 0]) == 2.0

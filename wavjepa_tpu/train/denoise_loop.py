@@ -196,10 +196,12 @@ def train_denoiser(
     throughput.start()
     # host-side step counter — see train/loop.py: fetching state.step every
     # iteration would stall async dispatch
+    from wavjepa_tpu.train.loop import prefetch_to_device
+
     step = int(state.step)
+    device_iter = prefetch_to_device(data_iter, mesh)
     for _ in range(step, total):
-        batch = next(data_iter)
-        batch = {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
+        batch = next(device_iter)
         state, metrics = step_fn(state, teacher_params, batch, rng)
         step += 1
         if step % cfg.trainer.log_every == 0 or step == total:

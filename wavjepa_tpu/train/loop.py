@@ -56,6 +56,28 @@ def build_data_iterator(cfg: Config) -> Iterator[np.ndarray]:
     return audio_shard_batches(cfg)
 
 
+def prefetch_to_device(iterator, mesh, size: int = 2):
+    """Double-buffered host→device prefetch: `device_put` the next batch(es)
+    while the current step runs, so the transfer overlaps compute instead of
+    serializing with it (the JAX analog of the reference DataLoader's
+    pin_memory+prefetch_factor, WebAudioDataModule.py:133-142)."""
+    import collections
+
+    buf = collections.deque()
+
+    def put(batch):
+        if isinstance(batch, dict):
+            return {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
+        return shard_batch(mesh, jnp.asarray(batch))
+
+    for batch in iterator:
+        buf.append(put(batch))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def train_jepa(
     cfg: Config,
     data_iter: Optional[Iterator[np.ndarray]] = None,
@@ -121,12 +143,9 @@ def train_jepa(
     # a device→host transfer that stalls async dispatch (VERDICT r1 weak #5).
     # Metrics are fetched (the only sync) at log_every / checkpoint points.
     step = start_step
+    device_iter = prefetch_to_device(data_iter, mesh)
     for _ in range(start_step, total):
-        batch = next(data_iter)
-        if isinstance(batch, dict):  # Nat scene batches
-            batch = {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
-        else:
-            batch = shard_batch(mesh, jnp.asarray(batch))
+        batch = next(device_iter)
         state, metrics = step_fn(state, batch, k_train)
         step += 1
         if step % cfg.trainer.log_every == 0 or step == total:
