@@ -93,9 +93,12 @@ REGISTRY: dict[str, DatasetSpec] = {
             "magnatagatune",
             "magnatagatune",
             (
-                Archive("https://mirg.city.ac.uk/datasets/magnatagatune/mp3.zip.001", "none"),
+                # 7z must be pointed at the FIRST part of .001/.002/.003
+                # split archives (unlike z01/.zip spanned sets), so the other
+                # parts download first and .001 triggers extraction last
                 Archive("https://mirg.city.ac.uk/datasets/magnatagatune/mp3.zip.002", "none"),
-                Archive("https://mirg.city.ac.uk/datasets/magnatagatune/mp3.zip.003", "7z"),
+                Archive("https://mirg.city.ac.uk/datasets/magnatagatune/mp3.zip.003", "none"),
+                Archive("https://mirg.city.ac.uk/datasets/magnatagatune/mp3.zip.001", "7z"),
                 Archive("https://mirg.city.ac.uk/datasets/magnatagatune/annotations_final.csv", "none"),
             ),
             note="multi-part zip; needs 7z on PATH",

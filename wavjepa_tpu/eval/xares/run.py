@@ -105,13 +105,19 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     if importlib.util.find_spec("xares") is not None and args.task != "stub":
-        # real harness present: hand over exactly like the reference launcher
+        # real harness present: hand over exactly like the reference
+        # launcher; the checkpoint travels via WAVJEPA_CKPT, which
+        # encoder.WavJEPAEncoder's zero-arg constructor reads
+        import os
         import subprocess
 
+        env = dict(os.environ)
+        if args.ckpt:
+            env["WAVJEPA_CKPT"] = args.ckpt
         enc_path = __file__.replace("run.py", "encoder.py")
         cmd = [sys.executable, "-m", "xares.run", "--max-jobs", str(args.max_jobs),
                enc_path, args.task]
-        raise SystemExit(subprocess.call(cmd))
+        raise SystemExit(subprocess.call(cmd, env=env))
 
     from wavjepa_tpu.eval.xares.checker import check_audio_encoder
     from wavjepa_tpu.eval.xares.encoder import WavJEPAEncoder

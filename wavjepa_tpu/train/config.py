@@ -178,30 +178,45 @@ class Config:
 
     def packing_bounds(self, total_patches: int) -> tuple:
         """(pack_encoder, pack_decoder) for the time-inverse masker, or
-        (None, None). Encoder budget: ~0.44·T rounded up to 8 (= 88 at
-        T=200, covering the measured max of 87 visible over 82k samples;
-        the train step canonicalizes the astronomically-rare overflow). Decoder budget: encoder budget +
-        the masker's maximum target coverage — a hard bound, so decoder
-        packing is always exact."""
+        (None, None).
+
+        The encoder budget is derived EMPIRICALLY from this run's masker
+        configuration: the numpy twin of the span sampler (statistically
+        validated against the device sampler in tests/test_masking.py) is
+        drawn 16384 times and the max visible-context count plus one
+        8-slot margin becomes the budget (= 88 at the AudioSet defaults,
+        covering the measured max of 87 over 82k device samples). The train step
+        canonicalizes the residual tail. If most tokens stay visible
+        (>72% — e.g. low-probability maskers), packing is disabled rather
+        than silently truncating context.
+
+        The decoder budget is the encoder budget + the masker's maximum
+        target coverage (a hard bound, always exact); under "auto" it snaps
+        down to 128 (single MXU N-tile, measured 1297 -> 942 ms) only when
+        the sampled p99.99 of per-group visible counts fits, so the
+        targets-first overflow drop stays a ~1e-4 tail event."""
         m = self.masker
         if self.trainer.pack_tokens not in ("auto", "exact") or m.name != "time-inverse":
             return None, None
         c = self.data.in_channels if m.channel_based_masking else 1
         c = max(1, c)
         t = total_patches // c
-        pe = min(t, -(-int(0.44 * t) // 8) * 8)
-        if pe >= t:
+        ctx_max, grp_q = _sampled_visible_stats(
+            t, m.context_mask_prob, m.context_mask_length,
+            m.target_prob, m.target_length, m.target_masks_per_context,
+        )
+        # one 8-slot margin above the sampled max: 16384 draws sit near the
+        # p99.99 of the training-run distribution (a 375k-step run draws
+        # ~100M masks), and the device-measured max over 82k samples (87 at
+        # the AudioSet defaults) exceeded the 16k-sample twin max (80)
+        pe = min(t, -(-(ctx_max + 8) // 8) * 8)
+        if pe >= 0.72 * t:
             return None, None
         max_tgt = (
             int(m.target_prob * t / m.target_length) + 1
         ) * m.target_length
         pd = min(t, -(-(pe + max_tgt) // 8) * 8)
-        # prefer the next-lower 128 multiple when it covers the p99.99 of
-        # group-visible counts: a <=128 decoder length runs in ONE MXU
-        # N-tile (measured 1297 -> 942 ms at the AudioSet config), and the
-        # targets-first pack order means the rare overflow (p~1e-4) only
-        # drops trailing context tokens from that group's key set.
-        if self.trainer.pack_tokens == "auto" and 128 <= pd <= 160 and t > 160:
+        if self.trainer.pack_tokens == "auto" and 128 <= pd and grp_q <= 128 and t > 160:
             pd = 128
         return pe * c, pd * c
 
@@ -252,6 +267,44 @@ class Config:
             dtype=jnp.bfloat16 if self.trainer.precision == "bf16" else jnp.float32,
             remat=self.trainer.remat,
         )
+
+
+_VISIBLE_STATS_CACHE: dict = {}
+
+
+def _sampled_visible_stats(
+    t: int, ctx_prob: float, ctx_len: int, tgt_prob: float, tgt_len: int,
+    n_targets: int, n_samples: int = 16384, seed: int = 0,
+) -> tuple:
+    """(max visible-context count, p99.99 of per-group visible counts) under
+    the time-inverse masker, estimated with the numpy span-sampler twin.
+    Deterministic (fixed seed) and cached per configuration."""
+    key = (t, ctx_prob, ctx_len, tgt_prob, tgt_len, n_targets, n_samples, seed)
+    if key in _VISIBLE_STATS_CACHE:
+        return _VISIBLE_STATS_CACHE[key]
+    import numpy as np
+
+    from wavjepa_tpu.masking import sample_span_mask_np
+
+    rng = np.random.default_rng(seed)
+    ctx_counts = np.empty(n_samples, np.int32)
+    grp_counts = np.empty(n_samples, np.int32)
+    for i in range(n_samples):
+        cover = sample_span_mask_np(rng, t, ctx_prob, ctx_len)
+        tgts = [
+            sample_span_mask_np(rng, t, tgt_prob, tgt_len)
+            for _ in range(n_targets)
+        ]
+        any_t = np.logical_or.reduce(tgts)
+        vis = ~cover & ~any_t
+        nv = int(vis.sum())
+        ctx_counts[i] = nv
+        # targets are disjoint from the visible context by construction, so
+        # a group's visible count is the plain sum
+        grp_counts[i] = nv + max(int(tg.sum()) for tg in tgts)
+    out = (int(ctx_counts.max()), int(np.percentile(grp_counts, 99.99)))
+    _VISIBLE_STATS_CACHE[key] = out
+    return out
 
 
 # --------------------------------------------------------------- (de)serialize

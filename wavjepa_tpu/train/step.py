@@ -196,8 +196,8 @@ def make_jepa_train_step(
             # canonicalize for visible-token packing: flip context-visible
             # tokens beyond the pack_encoder budget back to masked
             # (positionally-last excess; never observed at the AudioSet
-            # config — max 87 visible over 82k samples vs budget 96 — but
-            # required for the packed gather to stay exact). Targets live in
+            # config — max 87 visible over 82k samples vs the budget of 88 —
+            # but required for the packed gather to stay exact). Targets live in
             # the masked region, so the XOR-rebuilt visibility stays
             # consistent (reference masking.py:116 convention).
             over = jnp.cumsum(~ctx_mask, axis=-1) > cfg.pack_encoder

@@ -45,7 +45,14 @@ def jepa_forward_flops(cfg, n_targets: int = 4) -> dict:
     t = cfg.total_patches
     pe = getattr(cfg, "pack_encoder", None) or t
     pd = getattr(cfg, "pack_decoder", None) or t
-    conv = conv_frontend_flops(cfg.conv_spec, cfg.target_length, cfg.in_channels)
+    if getattr(cfg, "extractor", "conv") == "conv_channel":
+        # per-channel CNN stacks: each channel runs the full spec on 1 input
+        # channel (shared-weights variants execute the same FLOPs)
+        conv = cfg.in_channels * conv_frontend_flops(
+            cfg.conv_spec, cfg.target_length, 1
+        )
+    else:
+        conv = conv_frontend_flops(cfg.conv_spec, cfg.target_length, cfg.in_channels)
     mapper = 2 * t * cfg.embedding_dim * cfg.encoder_dim
     enc_full = cfg.encoder_layers * transformer_layer_flops(
         t, cfg.encoder_dim, int(cfg.encoder_dim * cfg.mlp_ratio)
@@ -59,7 +66,10 @@ def jepa_forward_flops(cfg, n_targets: int = 4) -> dict:
     )
     d2e = n_targets * 2 * pd * cfg.decoder_dim * cfg.encoder_dim
     student = conv + mapper + enc_student + e2d + dec + d2e
-    teacher = conv + mapper + enc_full  # EMA teacher always runs full length
+    # the teacher consumes the SAME encode_features output the student
+    # computed (train/step.py shares feats via stop_gradient), so conv and
+    # mapper are NOT re-run for it — only the EMA encoder at full length
+    teacher = enc_full
     return {"student": student, "teacher": teacher}
 
 
