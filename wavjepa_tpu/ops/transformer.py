@@ -81,6 +81,33 @@ def dot_product_attention(
     ).astype(dtype)
 
 
+def dot_product_attention_bthd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: Optional[jax.Array] = None,
+    dtype: jnp.dtype = jnp.float32,
+) -> jax.Array:
+    """Attention with operands kept in (B, T, H, hd) layout: the einsums
+    contract/batch the head axis in place, so no explicit per-layer
+    (B, H, T, hd) transposes appear in the trace. Measured on v5e at the
+    packed bench config: IDENTICAL step time to the BHTD path (779.5 ms
+    both) — the ~35 ms/step of layout copies the profiler attributes to the
+    transposes are intrinsic to XLA's batched-einsum lowering and reappear
+    inside the fusions either way. Kept as an option for other shapes.
+    Numerics identical to `dot_product_attention`."""
+    head_dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(head_dim).astype(q.dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+    weights = checkpoint_name(weights, "attn_probs")
+    return jnp.einsum(
+        "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
+    ).astype(dtype)
+
+
 def key_padding_bias(
     key_padding_mask: jax.Array, dtype: jnp.dtype = jnp.float32
 ) -> jax.Array:
@@ -141,6 +168,21 @@ class MultiHeadSelfAttention(nn.Module):
             )
             out = jax.nn.dot_product_attention(
                 qt, kt, vt, mask=valid, implementation="xla"
+            ).reshape(b, t, d)
+            return nn.Dense(
+                d,
+                use_bias=self.use_bias,
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+                name="out_proj",
+            )(out)
+        if self.attn_impl == "einsum_bthd":
+            out = dot_product_attention_bthd(
+                q.reshape(b, t, h, head_dim),
+                k.reshape(b, t, h, head_dim),
+                v.reshape(b, t, h, head_dim),
+                bias=bias,
+                dtype=self.dtype,
             ).reshape(b, t, d)
             return nn.Dense(
                 d,
