@@ -63,16 +63,29 @@ def resample_np(
     """
     if sr_in == sr_out:
         return audio
-    from scipy.signal import resample_poly
-
     kernel, L, M = _cached_kernel(sr_in, sr_out, lowpass_filter_width, rolloff, beta)
     t_in = audio.shape[-1]
     t_out = int(math.ceil(t_in * sr_out / sr_in))
     flat = audio.reshape(-1, t_in).astype(np.float32)
-    out = resample_poly(flat, L, M, axis=-1, window=kernel / L).astype(np.float32)
-    if out.shape[-1] < t_out:
-        out = np.pad(out, ((0, 0), (0, t_out - out.shape[-1])))
-    return out[:, :t_out].reshape(*audio.shape[:-1], t_out)
+    # first-party native polyphase (data/_native/resampler.cc): identical
+    # centered-upfirdn semantics, vectorized FMA inner loops — 9.7 ms per
+    # 10-s 44.1 k clip vs 56 ms through scipy.upfirdn (the dominant host
+    # ingest cost, CLAUDE.md). scipy remains the fallback when the native
+    # lib can't build.
+    try:
+        from wavjepa_tpu.data._native.resample_native import resample_poly_native
+
+        out = resample_poly_native(flat, kernel, L, M, t_out)
+    except Exception:
+        from scipy.signal import resample_poly
+
+        out = resample_poly(flat, L, M, axis=-1, window=kernel / L).astype(
+            np.float32
+        )
+        if out.shape[-1] < t_out:
+            out = np.pad(out, ((0, 0), (0, t_out - out.shape[-1])))
+        out = out[:, :t_out]
+    return out.reshape(*audio.shape[:-1], t_out)
 
 
 @partial(
