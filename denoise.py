@@ -23,20 +23,40 @@ def main(argv=None):
         cfg_path = argv.pop(0)
     cfg = apply_overrides(load_config(cfg_path), argv)
     cfg.model = "Denoiser"
+
     # denoise defaults differ from SSL pretraining (reference
     # configs/optimizer adamW denoise: lr 1e-4 wd 0, grad clip 1.0,
-    # 16 crops/clip, 100 k steps)
-    if not any(o.startswith("optimizer.lr") for o in argv):
+    # 16 crops/clip, 100 k steps). They yield to values set EITHER on the
+    # CLI or in the YAML file — a config-file value must never be clobbered.
+    explicit = {o.split("=", 1)[0] for o in argv if "=" in o}
+    if cfg_path:
+        import yaml
+
+        def _walk(d, prefix=""):
+            for k, v in (d or {}).items():
+                key = f"{prefix}{k}"
+                if isinstance(v, dict):
+                    _walk(v, key + ".")
+                else:
+                    explicit.add(key)
+
+        with open(cfg_path) as f:
+            _walk(yaml.safe_load(f))
+
+    def unset(key):
+        return key not in explicit
+
+    if unset("optimizer.lr"):
         cfg = apply_overrides(cfg, ["optimizer.lr=1e-4"])
-    if not any(o.startswith("optimizer.weight_decay") for o in argv):
+    if unset("optimizer.weight_decay"):
         cfg = apply_overrides(cfg, ["optimizer.weight_decay=0.0"])
-    if not any(o.startswith("optimizer.grad_clip") for o in argv):
+    if unset("optimizer.grad_clip"):
         cfg = apply_overrides(cfg, ["optimizer.grad_clip=1.0"])
-    if not any(o.startswith("data.samples_per_audio") for o in argv):
+    if unset("data.samples_per_audio"):
         cfg.data.samples_per_audio = 16
-    if not any(o.startswith("trainer.steps") for o in argv):
+    if unset("trainer.steps"):
         cfg.trainer.steps = 100_000
-    if not any(o.startswith("trainer.batch_size") for o in argv):
+    if unset("trainer.batch_size"):
         # 8 clips × 16 crops fits a 16 GB v5e chip (the reference's 32×16
         # assumes 80 GB GPUs); effective batch scales with data parallelism
         cfg.trainer.batch_size = 8

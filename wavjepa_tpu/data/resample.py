@@ -71,12 +71,12 @@ def resample_np(
     # centered-upfirdn semantics, vectorized FMA inner loops — 9.7 ms per
     # 10-s 44.1 k clip vs 56 ms through scipy.upfirdn (the dominant host
     # ingest cost, CLAUDE.md). scipy remains the fallback when the native
-    # lib can't build.
-    try:
-        from wavjepa_tpu.data._native.resample_native import resample_poly_native
-
-        out = resample_poly_native(flat, kernel, L, M, t_out)
-    except Exception:
+    # lib can't build; the decision is made ONCE (a failed import would
+    # otherwise re-run a g++ attempt on every clip) and logged.
+    native = _native_resampler()
+    if native is not None:
+        out = native(flat, kernel, L, M, t_out)
+    else:
         from scipy.signal import resample_poly
 
         out = resample_poly(flat, L, M, axis=-1, window=kernel / L).astype(
@@ -86,6 +86,28 @@ def resample_np(
             out = np.pad(out, ((0, 0), (0, t_out - out.shape[-1])))
         out = out[:, :t_out]
     return out.reshape(*audio.shape[:-1], t_out)
+
+
+_NATIVE_RESAMPLER = "unresolved"
+
+
+def _native_resampler():
+    global _NATIVE_RESAMPLER
+    if _NATIVE_RESAMPLER == "unresolved":
+        try:
+            from wavjepa_tpu.data._native.resample_native import (
+                resample_poly_native,
+            )
+
+            _NATIVE_RESAMPLER = resample_poly_native
+        except Exception as exc:  # noqa: BLE001 - any build/load failure
+            print(
+                f"[data] native resampler unavailable ({exc!r}); "
+                "falling back to scipy (~6x slower host ingest)",
+                flush=True,
+            )
+            _NATIVE_RESAMPLER = None
+    return _NATIVE_RESAMPLER
 
 
 @partial(

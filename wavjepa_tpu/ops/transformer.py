@@ -51,60 +51,38 @@ def dot_product_attention(
     v: jax.Array,
     bias: Optional[jax.Array] = None,
     dtype: jnp.dtype = jnp.float32,
+    layout: str = "bhtd",
 ) -> jax.Array:
-    """Multi-head attention core. q,k,v: (B, H, T, hd). bias: broadcastable
-    to (B, H, T, T), added to logits (use -inf/large-negative to mask keys).
+    """Multi-head attention core. q,k,v in the given layout ("bhtd" =
+    (B, H, T, hd), "bthd" = (B, T, H, hd) — measured identical step time on
+    v5e at the packed bench config: XLA re-lays-out inside the fusions
+    either way, so the layout choice is free). bias broadcastable to
+    (B, H, T, T), added to logits (use -inf/large-negative to mask keys).
 
-    Softmax runs in f32; the two matmuls accumulate in f32 on the MXU.
+    Logits are STORED in the io dtype (bf16 in training) — same as torch
+    autocast, where the QK^T matmul emits bf16 and softmax upcasts — which
+    halves the (B, H, T, T) HBM traffic. The MXU still accumulates in f32;
+    softmax math runs in f32 (the upcast fuses into the softmax pass);
+    bf16's f32-range exponent keeps the additive -f32max mask bias finite.
+    (Measured: forcing bf16 materialization of the logits with an
+    optimization_barrier before the f32 softmax is 1.5% SLOWER.)
     """
+    qk_sub, av_sub = {
+        "bhtd": ("bhqd,bhkd->bhqk", "bhqk,bhkd->bhqd"),
+        "bthd": ("bqhd,bkhd->bhqk", "bhqk,bkhd->bqhd"),
+    }[layout]
     head_dim = q.shape[-1]
     scale = 1.0 / jnp.sqrt(head_dim).astype(q.dtype)
-    # Logits are STORED in the io dtype (bf16 in training) — same as torch
-    # autocast, where the QK^T matmul emits bf16 and softmax upcasts — which
-    # halves the (B, H, T, T) HBM traffic that dominates this op. The MXU
-    # still accumulates in f32 internally; softmax math runs in f32 (the
-    # upcast fuses into the softmax pass). bf16's f32-range exponent keeps
-    # the additive -f32max mask bias finite.
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+    logits = jnp.einsum(qk_sub, q * scale, k)
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)
-    # (measured: forcing bf16 materialization of the logits with an
-    # optimization_barrier before the f32 softmax is 1.5% SLOWER — XLA's
-    # fusion choice here is already the right one)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
     # named so a remat policy can keep the probabilities as residuals: the
-    # backward then skips the logits+softmax recompute entirely (the
-    # dominant replay cost — see PERF.md), at (B·H·T·T) bf16 of memory
+    # backward then skips the logits+softmax recompute entirely (see
+    # TransformerEncoder.remat_save_probs), at (B·H·T·T) bf16 of memory
     weights = checkpoint_name(weights, "attn_probs")
     return jnp.einsum(
-        "bhqk,bhkd->bhqd", weights, v, preferred_element_type=jnp.float32
-    ).astype(dtype)
-
-
-def dot_product_attention_bthd(
-    q: jax.Array,
-    k: jax.Array,
-    v: jax.Array,
-    bias: Optional[jax.Array] = None,
-    dtype: jnp.dtype = jnp.float32,
-) -> jax.Array:
-    """Attention with operands kept in (B, T, H, hd) layout: the einsums
-    contract/batch the head axis in place, so no explicit per-layer
-    (B, H, T, hd) transposes appear in the trace. Measured on v5e at the
-    packed bench config: IDENTICAL step time to the BHTD path (779.5 ms
-    both) — the ~35 ms/step of layout copies the profiler attributes to the
-    transposes are intrinsic to XLA's batched-einsum lowering and reappear
-    inside the fusions either way. Kept as an option for other shapes.
-    Numerics identical to `dot_product_attention`."""
-    head_dim = q.shape[-1]
-    scale = 1.0 / jnp.sqrt(head_dim).astype(q.dtype)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
-    if bias is not None:
-        logits = logits + bias.astype(logits.dtype)
-    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
-    weights = checkpoint_name(weights, "attn_probs")
-    return jnp.einsum(
-        "bhqk,bkhd->bqhd", weights, v, preferred_element_type=jnp.float32
+        av_sub, weights, v, preferred_element_type=jnp.float32
     ).astype(dtype)
 
 
@@ -154,47 +132,21 @@ class MultiHeadSelfAttention(nn.Module):
             name="in_proj",
         )(x)
         b, t, _ = qkv.shape
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = (a.reshape(b, t, h, head_dim) for a in jnp.split(qkv, 3, -1))
         if self.attn_impl == "sdpa":
-            # jax.nn.dot_product_attention takes BTHD natively — skips the
-            # four per-layer head transposes the BHTD paths need
-            qt = q.reshape(b, t, h, head_dim)
-            kt = k.reshape(b, t, h, head_dim)
-            vt = v.reshape(b, t, h, head_dim)
             valid = (
                 ~key_padding_mask[:, None, None, :]
                 if key_padding_mask is not None
                 else None
             )
             out = jax.nn.dot_product_attention(
-                qt, kt, vt, mask=valid, implementation="xla"
-            ).reshape(b, t, d)
-            return nn.Dense(
-                d,
-                use_bias=self.use_bias,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name="out_proj",
-            )(out)
-        if self.attn_impl == "einsum_bthd":
-            out = dot_product_attention_bthd(
-                q.reshape(b, t, h, head_dim),
-                k.reshape(b, t, h, head_dim),
-                v.reshape(b, t, h, head_dim),
-                bias=bias,
-                dtype=self.dtype,
-            ).reshape(b, t, d)
-            return nn.Dense(
-                d,
-                use_bias=self.use_bias,
-                dtype=self.dtype,
-                param_dtype=self.param_dtype,
-                name="out_proj",
-            )(out)
-        q = q.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(b, t, h, head_dim).transpose(0, 2, 1, 3)
-        if self.attn_impl == "pallas":
+                q, k, v, mask=valid, implementation="xla"
+            )
+        elif self.attn_impl == "einsum_bthd":
+            out = dot_product_attention(
+                q, k, v, bias=bias, dtype=self.dtype, layout="bthd"
+            )
+        elif self.attn_impl == "pallas":
             from wavjepa_tpu.ops.flash_attention import flash_attention
 
             mask = (
@@ -202,17 +154,22 @@ class MultiHeadSelfAttention(nn.Module):
                 if key_padding_mask is not None
                 else jnp.zeros((b, t), bool)
             )
-            out = flash_attention(q, k, v, mask)
+            out = flash_attention(
+                *(a.transpose(0, 2, 1, 3) for a in (q, k, v)), mask
+            ).transpose(0, 2, 1, 3)
         else:
-            out = dot_product_attention(q, k, v, bias=bias, dtype=self.dtype)
-        out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+            out = dot_product_attention(
+                *(a.transpose(0, 2, 1, 3) for a in (q, k, v)),
+                bias=bias,
+                dtype=self.dtype,
+            ).transpose(0, 2, 1, 3)
         return nn.Dense(
             d,
             use_bias=self.use_bias,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="out_proj",
-        )(out)
+        )(out.reshape(b, t, d))
 
 
 class LayerNorm32(nn.Module):

@@ -183,9 +183,9 @@ class Config:
         The encoder budget is derived EMPIRICALLY from this run's masker
         configuration: the numpy twin of the span sampler (statistically
         validated against the device sampler in tests/test_masking.py) is
-        drawn 16384 times and the max visible-context count plus one
-        8-slot margin becomes the budget (= 88 at the AudioSet defaults,
-        covering the measured max of 87 over 82k device samples). The train step
+        drawn 16384 times and the p99.9 visible-context count plus one
+        context-span length becomes the budget (= 88 at the AudioSet
+        defaults, covering the measured max of 87 over 82k device samples). The train step
         canonicalizes the residual tail. If most tokens stay visible
         (>72% — e.g. low-probability maskers), packing is disabled rather
         than silently truncating context.
@@ -193,30 +193,46 @@ class Config:
         The decoder budget is the encoder budget + the masker's maximum
         target coverage (a hard bound, always exact); under "auto" it snaps
         down to 128 (single MXU N-tile, measured 1297 -> 942 ms) only when
-        the sampled p99.99 of per-group visible counts fits, so the
-        targets-first overflow drop stays a ~1e-4 tail event."""
+        the sampled fraction of per-group visible counts above 128 is
+        <=3e-4, so the targets-first overflow drop stays a ~1e-4 tail
+        event."""
         m = self.masker
         if self.trainer.pack_tokens not in ("auto", "exact") or m.name != "time-inverse":
             return None, None
         c = self.data.in_channels if m.channel_based_masking else 1
         c = max(1, c)
         t = total_patches // c
-        ctx_max, grp_q = _sampled_visible_stats(
+        import numpy as _np
+
+        ctx_counts, grp_counts = _sampled_visible_stats(
             t, m.context_mask_prob, m.context_mask_length,
             m.target_prob, m.target_length, m.target_masks_per_context,
         )
-        # one 8-slot margin above the sampled max: 16384 draws sit near the
-        # p99.99 of the training-run distribution (a 375k-step run draws
-        # ~100M masks), and the device-measured max over 82k samples (87 at
-        # the AudioSet defaults) exceeded the 16k-sample twin max (80)
-        pe = min(t, -(-(ctx_max + 8) // 8) * 8)
+        # budget = sampled p99.9 + one context-span length, rounded up to 8:
+        # a quantile is a stable statistic where a sampled max is not, and
+        # the span-length margin absorbs the deep tail (AudioSet defaults:
+        # q99.9 ≈ 72 + 10 → 88, covering the device-measured max of 87 over
+        # 82k samples). Beyond-tail overflow a 375k-step run could still see
+        # is canonicalized exactly by the train step.
+        q999 = float(_np.percentile(ctx_counts, 99.9))
+        pe = min(t, -(-int(q999 + m.context_mask_length) // 8) * 8)
         if pe >= 0.72 * t:
             return None, None
         max_tgt = (
             int(m.target_prob * t / m.target_length) + 1
         ) * m.target_length
         pd = min(t, -(-(pe + max_tgt) // 8) * 8)
-        if self.trainer.pack_tokens == "auto" and 128 <= pd and grp_q <= 128 and t > 160:
+        # snap only when the SAMPLED exceedance fraction over 128 is in the
+        # ~1e-4 tail (<=3e-4; device-measured at the AudioSet defaults:
+        # p99.99 = 125, max 137 over 82k samples) — a deep-percentile
+        # estimate from the sample is too noisy, an exceedance count is not
+        frac_over = float((grp_counts > 128).mean())
+        if (
+            self.trainer.pack_tokens == "auto"
+            and 128 <= pd
+            and frac_over <= 3e-4
+            and t > 160
+        ):
             pd = 128
         return pe * c, pd * c
 
@@ -272,37 +288,64 @@ class Config:
 _VISIBLE_STATS_CACHE: dict = {}
 
 
+def _batch_span_masks(rng, n_rows: int, t: int, prob: float, length: int):
+    """Vectorized twin of masking.span.sample_span_mask_np: (n_rows, t) bool
+    masks, each the union of `floor(prob·t/length + U)` random spans of
+    `length` placed without replacement. Distribution-identical to the
+    per-draw loop (the k smallest of iid uniform keys form a uniform random
+    k-subset). f32 keys: float64 generation is pathologically slow on some
+    hosts (measured 4.5 s vs 64 ms for this shape) and key ties are a
+    ~0.1%-per-row non-event for a statistical bound. Span coverage via
+    +1/-1 boundary marks and a cumsum — no per-element scatter."""
+    import numpy as np
+
+    base = prob * t / length
+    dom = max(1, t - length)
+    nums = np.minimum(
+        np.floor(base + rng.random(n_rows, dtype=np.float32)).astype(np.int64),
+        dom,
+    )
+    mmax = int(min(int(base) + 1, dom))
+    keys = rng.random((n_rows, dom), dtype=np.float32)
+    if mmax >= dom:
+        starts = np.argsort(keys, axis=1)[:, :mmax]
+    else:
+        starts = np.argpartition(keys, mmax, axis=1)[:, :mmax]
+    valid = np.arange(mmax)[None, :] < nums[:, None]  # (n_rows, mmax)
+    # boundary marks: +1 at span start, -1 one past span end; covered where
+    # the running sum is positive
+    w = t + length
+    rows = np.broadcast_to(np.arange(n_rows)[:, None], starts.shape)
+    lin = rows[valid].astype(np.int64) * w + starts[valid]
+    marks = np.bincount(lin, minlength=n_rows * w) - np.bincount(
+        lin + length, minlength=n_rows * w
+    )
+    return np.cumsum(marks.reshape(n_rows, w)[:, :t], axis=1) > 0
+
+
 def _sampled_visible_stats(
     t: int, ctx_prob: float, ctx_len: int, tgt_prob: float, tgt_len: int,
     n_targets: int, n_samples: int = 16384, seed: int = 0,
-) -> tuple:
-    """(max visible-context count, p99.99 of per-group visible counts) under
-    the time-inverse masker, estimated with the numpy span-sampler twin.
+):
+    """(visible-context counts, per-group visible counts) sample arrays
+    under the time-inverse masker, via vectorized span sampling.
     Deterministic (fixed seed) and cached per configuration."""
     key = (t, ctx_prob, ctx_len, tgt_prob, tgt_len, n_targets, n_samples, seed)
     if key in _VISIBLE_STATS_CACHE:
         return _VISIBLE_STATS_CACHE[key]
     import numpy as np
 
-    from wavjepa_tpu.masking import sample_span_mask_np
-
     rng = np.random.default_rng(seed)
-    ctx_counts = np.empty(n_samples, np.int32)
-    grp_counts = np.empty(n_samples, np.int32)
-    for i in range(n_samples):
-        cover = sample_span_mask_np(rng, t, ctx_prob, ctx_len)
-        tgts = [
-            sample_span_mask_np(rng, t, tgt_prob, tgt_len)
-            for _ in range(n_targets)
-        ]
-        any_t = np.logical_or.reduce(tgts)
-        vis = ~cover & ~any_t
-        nv = int(vis.sum())
-        ctx_counts[i] = nv
-        # targets are disjoint from the visible context by construction, so
-        # a group's visible count is the plain sum
-        grp_counts[i] = nv + max(int(tg.sum()) for tg in tgts)
-    out = (int(ctx_counts.max()), int(np.percentile(grp_counts, 99.99)))
+    cover = _batch_span_masks(rng, n_samples, t, ctx_prob, ctx_len)
+    tgts = _batch_span_masks(
+        rng, n_samples * n_targets, t, tgt_prob, tgt_len
+    ).reshape(n_samples, n_targets, t)
+    vis = ~cover & ~tgts.any(axis=1)  # (n, t) visible context
+    nv = vis.sum(axis=1)
+    # targets are disjoint from the visible context by construction, so a
+    # group's visible count is the plain sum
+    grp = nv + tgts.sum(axis=2).max(axis=1)
+    out = (nv.astype(np.int64), grp.astype(np.int64))
     _VISIBLE_STATS_CACHE[key] = out
     return out
 
