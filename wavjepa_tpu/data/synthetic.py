@@ -23,10 +23,12 @@ def synthetic_audio_batches(
     rng = np.random.default_rng(seed)
     length = int(seconds * sr)
     while True:
-        white = rng.standard_normal((batch_size, in_channels, length)).astype(
-            np.float32
+        # draw f32 directly: float64 generation is pathologically slow on
+        # some hosts (measured ~70x; it made TPU smoke runs host-bound)
+        white = rng.standard_normal(
+            (batch_size, in_channels, length), dtype=np.float32
         )
         # one-pole lowpass to give a decaying spectrum
         batch = white.copy()
-        batch[..., 1:] = 0.7 * batch[..., :-1] + 0.3 * white[..., 1:]
+        batch[..., 1:] = 0.7 * white[..., :-1] + 0.3 * white[..., 1:]
         yield batch
