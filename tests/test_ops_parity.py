@@ -200,3 +200,33 @@ def test_conv1d_as_matmul_matches_lax_conv():
         )
         got = conv1d_as_matmul(x, w, s)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_fully_masked_row_is_finite_in_bf16():
+    """A fully-masked attention row must yield finite (uniform-weight)
+    outputs in bf16 training, not NaN: the mask bias must survive the cast
+    to bf16 logits (-f32max would round to -inf)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wavjepa_tpu.ops.transformer import TransformerEncoder
+
+    enc = TransformerEncoder(
+        num_layers=1, embed_dim=16, num_heads=2, mlp_dim=32, dtype=jnp.bfloat16
+    )
+    x = jnp.ones((2, 4, 16), jnp.bfloat16)
+    kpm = jnp.asarray([[False, False, True, True],
+                       [True, True, True, True]])  # row 1: ALL keys masked
+    params = enc.init(jax.random.PRNGKey(0), x, key_padding_mask=kpm)
+    out = enc.apply(params, x, key_padding_mask=kpm)
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+    # and the masking still actually masks: outputs must be independent of
+    # masked keys' values
+    x2 = x.at[:, 2:, :].set(123.0)
+    out2 = enc.apply(params, x2, key_padding_mask=kpm)
+    import numpy as np
+    np.testing.assert_allclose(
+        np.asarray(out[0, :2], np.float32), np.asarray(out2[0, :2], np.float32),
+        atol=1e-2,
+    )

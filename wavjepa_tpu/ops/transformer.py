@@ -63,7 +63,7 @@ def dot_product_attention(
     autocast, where the QK^T matmul emits bf16 and softmax upcasts — which
     halves the (B, H, T, T) HBM traffic. The MXU still accumulates in f32;
     softmax math runs in f32 (the upcast fuses into the softmax pass);
-    bf16's f32-range exponent keeps the additive -f32max mask bias finite.
+    the −0.7·f32max mask bias stays finite in bf16 (see key_padding_bias).
     (Measured: forcing bf16 materialization of the logits with an
     optimization_barrier before the f32 softmax is 1.5% SLOWER.)
     """
@@ -91,11 +91,15 @@ def key_padding_bias(
 ) -> jax.Array:
     """(B, T) bool mask (True = ignore that key) → (B, 1, 1, T) additive bias.
 
-    Uses the f32 minimum like torch's masked_fill(-inf) path but finite, so a
-    fully-masked row yields uniform weights instead of NaN (training never
-    produces fully-masked rows; inference padding rows are discarded).
+    Uses −0.7·f32max (the TPU flash-attention convention) rather than −inf or
+    −f32max: it stays FINITE after the cast to bf16 logits (−f32max rounds to
+    −inf in bf16, which would turn a fully-masked row — possible under the
+    speech masker's small-run filtering — into softmax NaNs that poison the
+    whole gradient), while exp(−0.7·f32max − m) still underflows to exactly 0
+    for every masked key, so results are unchanged. A fully-masked row yields
+    uniform weights; inference padding rows are discarded by callers.
     """
-    neg = jnp.asarray(jnp.finfo(jnp.float32).min, dtype=dtype)
+    neg = jnp.asarray(-0.7 * jnp.finfo(jnp.float32).max, dtype=dtype)
     return jnp.where(key_padding_mask[:, None, None, :], neg, jnp.zeros((), dtype))
 
 

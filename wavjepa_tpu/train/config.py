@@ -130,6 +130,10 @@ class TrainerConfig:
     remat_conv: Optional[bool] = None
     remat_encoder: Optional[bool] = None
     remat_decoder: Optional[bool] = None
+    # keep attention probabilities as remat residuals (measured SLOWER at
+    # the packed bench config — memory traffic exceeds the replay saved —
+    # but exposed for other shapes/HBM budgets)
+    remat_save_probs: bool = False
     # visible-token packing (JEPAConfig.pack_encoder/pack_decoder):
     # "auto" derives static pack sizes from the time-inverse masker config
     # and snaps the decoder budget to 128 for the single-MXU-N-tile regime
@@ -197,7 +201,13 @@ class Config:
         <=3e-4, so the targets-first overflow drop stays a ~1e-4 tail
         event."""
         m = self.masker
-        if self.trainer.pack_tokens not in ("auto", "exact") or m.name != "time-inverse":
+        if self.trainer.pack_tokens not in ("auto", "exact", "off"):
+            raise ValueError(
+                f"trainer.pack_tokens must be 'auto', 'exact' or 'off', got "
+                f"{self.trainer.pack_tokens!r} (note: YAML booleans parse as "
+                f"bool, quote the string)"
+            )
+        if self.trainer.pack_tokens == "off" or m.name != "time-inverse":
             return None, None
         c = self.data.in_channels if m.channel_based_masking else 1
         c = max(1, c)
@@ -240,10 +250,6 @@ class Config:
         """Assemble the JEPAConfig for this run."""
         import dataclasses as _dc
 
-        import jax.numpy as jnp
-
-        from wavjepa_tpu.models.jepa import JEPAConfig
-
         cfg = self._base_model_config()
         pe, pd = self.packing_bounds(cfg.total_patches)
         if pe is not None:
@@ -260,6 +266,7 @@ class Config:
             remat_conv=remat_conv,
             remat_encoder=remat_enc,
             remat_decoder=tr.remat_decoder,
+            remat_save_probs=tr.remat_save_probs,
         )
         return cfg
 
@@ -329,7 +336,15 @@ def _sampled_visible_stats(
 ):
     """(visible-context counts, per-group visible counts) sample arrays
     under the time-inverse masker, via vectorized span sampling.
-    Deterministic (fixed seed) and cached per configuration."""
+    Deterministic (fixed seed) and cached per configuration.
+
+    Limitation: this samples the UNCONDITIONED span distribution; the device
+    masker additionally selects the first of K=4 candidates passing the
+    ratio cutoff (maskers.py), which conditions the deployed distribution.
+    At the AudioSet defaults the shift is negligible (budgets validated
+    against 82k device samples — max 87 visible vs budget 88) and the
+    span-length margin absorbs it; for exotic configs with high rejection
+    rates prefer pack_tokens="exact" or "off"."""
     key = (t, ctx_prob, ctx_len, tgt_prob, tgt_len, n_targets, n_samples, seed)
     if key in _VISIBLE_STATS_CACHE:
         return _VISIBLE_STATS_CACHE[key]
@@ -395,6 +410,11 @@ def _coerce(value: str, current: Any) -> Any:
         return json.loads(value)
     if value.lower() in ("null", "none"):
         return None
+    # Optional[bool] fields (e.g. trainer.remat_encoder) default to None, so
+    # the isinstance(bool) branch never fires — without this, "=false" would
+    # store the TRUTHY string "false" and silently invert the override
+    if current is None and value.lower() in ("true", "false", "1", "0", "yes", "no"):
+        return value.lower() in ("1", "true", "yes")
     return value
 
 
