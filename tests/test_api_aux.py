@@ -101,3 +101,76 @@ def test_multidevice_run_commands(tmp_path):
     ]
     # every command got a valid exclusive device from the 2-device free-list
     assert all(d in ("dev-0", "dev-1") for d in devices)
+
+
+class TestAugmenterSceneParity:
+    """Eval-time Augmenter reproduces the reference scene pipeline
+    (heaRIR generate_scenes.py): noise fades, random placement of a shorter
+    bed, full-signal SNR scaling. Verified with delta RIRs so the
+    convolutions are identities and each stage is directly observable."""
+
+    def _aug(self, snr, noise_len_s=None, audio_len_s=2.0, sr=1000, seed=3):
+        import numpy as np
+
+        from wavjepa_tpu.api.hearir import Augmenter
+
+        class OneScene:
+            def __next__(self):
+                delta = np.zeros((1, 8), np.float32)
+                delta[0, 0] = 1.0
+                return delta, [delta], {}
+
+        rng = np.random.default_rng(0)
+        audio = rng.standard_normal(int(sr * audio_len_s)).astype(np.float32)
+        noise = (
+            rng.standard_normal(int(sr * noise_len_s)).astype(np.float32)
+            if noise_len_s
+            else None
+        )
+        aug = Augmenter(OneScene(), sr=sr, snr=snr, seed=seed)
+        out = aug.augment(audio, noise)[0]
+        return audio, noise, out, sr
+
+    def test_snr_is_exact_with_delta_rirs(self):
+        import numpy as np
+
+        audio, noise, out, sr = self._aug(snr=5.0, noise_len_s=2.0)
+        bed = out - audio  # delta RIRs → wet == audio, bed = scaled noise
+        measured_snr = 10 * np.log10(np.sum(audio**2) / np.sum(bed**2))
+        assert abs(measured_snr - 5.0) < 1e-3
+
+    def test_shorter_noise_is_faded_and_placed(self):
+        import numpy as np
+
+        audio, noise, out, sr = self._aug(snr=0.0, noise_len_s=0.5)
+        bed = out - audio
+        # threshold relative to the bed peak: the delta-RIR convolutions are
+        # exact only up to fft roundoff (~1e-7 of the signal scale)
+        support = np.flatnonzero(np.abs(bed) > 1e-3 * np.abs(bed).max())
+        assert support.size > 0
+        start, end = support[0], support[-1] + 1
+        # contiguous support of the noise's length, inside the clip
+        assert end - start <= int(0.5 * sr)
+        assert 0 <= start and end <= audio.size
+        # fade-in: bed amplitude near the placement start is attenuated
+        # relative to the bed center (linear 0.2 s ramp)
+        n_fade = int(0.2 * sr)
+        head = np.abs(bed[start : start + n_fade // 4]).mean()
+        mid = np.abs(bed[start + n_fade : end - n_fade]).mean()
+        assert head < 0.5 * mid
+
+    def test_long_noise_truncated_with_fadeout(self):
+        import numpy as np
+
+        audio, noise, out, sr = self._aug(snr=0.0, noise_len_s=3.0)
+        bed = out - audio
+        # truncated-from-start noise covers the clip; tail is faded out
+        tail = np.abs(bed[-int(0.05 * sr):]).mean()
+        mid = np.abs(bed[audio.size // 2 : audio.size // 2 + 100]).mean()
+        assert tail < 0.3 * mid
+
+    def test_no_noise_is_pure_convolution(self):
+        import numpy as np
+
+        audio, _, out, sr = self._aug(snr=None)
+        np.testing.assert_allclose(out, audio, atol=1e-6)

@@ -189,3 +189,35 @@ def test_download_registry_covers_all_recipes(tmp_path, capsys):
     assert "esc50" in out and "fetch" in out
     # dry-run must not create anything
     assert not (tmp_path / "ds").exists()
+
+
+def test_resolve_audio_path_prefers_transcoded_sibling(tmp_path):
+    from wavjepa_tpu.eval.arch.recipes import resolve_audio_path
+
+    mp3 = tmp_path / "000002.mp3"
+    assert resolve_audio_path(str(mp3)) == str(mp3)  # no sibling yet
+    wav = tmp_path / "000002.wav"
+    wav.write_bytes(b"")
+    assert resolve_audio_path(str(mp3)) == str(wav)
+    assert resolve_audio_path(str(tmp_path / "x.flac")) == str(tmp_path / "x.flac")
+
+
+def test_embedding_cache_shared_across_folds_and_modes(tmp_path):
+    """Each unique clip is pushed through the model ONCE per recipe even
+    across LOOCV folds and probe modes (was folds x modes times)."""
+    _make_esc50_layout(tmp_path)
+    model = FakeArchModel()
+    calls = {"n": 0}
+    orig = model.get_embeddings
+
+    def counting(audio, **kwargs):
+        calls["n"] += 1
+        return orig(audio, **kwargs)
+
+    model.get_embeddings = counting
+    recipe = ESC50(str(tmp_path))
+    n_clips = len(recipe._all_audio_paths())
+    recipe.evaluate(model, mode="linear", max_num_epochs=2, batch_size=8)
+    assert calls["n"] == n_clips, (calls["n"], n_clips)
+    recipe.evaluate(model, mode="non-linear", max_num_epochs=2, batch_size=8)
+    assert calls["n"] == n_clips  # second mode fully cache-served

@@ -109,3 +109,36 @@ class TestResample:
     def test_identity(self):
         x = np.random.default_rng(1).normal(size=(1, 100)).astype(np.float32)
         assert resample_np(x, 16000, 16000) is x
+
+
+def test_mixed_source_workers_cover_all_shards(tmp_path):
+    """Every shard of every mixed source must be assigned to exactly one
+    worker (striping by a global worker id left half of each source unread)."""
+    import numpy as np
+
+    from wavjepa_tpu.data.pipeline import ShardAudioSource
+
+    pats = []
+    expected = {}
+    for s in range(2):
+        paths = []
+        for i in range(8):
+            p = tmp_path / f"src{s}-{i:04d}.tar"
+            p.write_bytes(b"")
+            paths.append(str(p))
+        pats.append(str(tmp_path / f"src{s}-{{0000..0007}}.tar"))
+        expected[s] = set(paths)
+
+    src = ShardAudioSource(
+        pats, mixing_weights=[0.5, 0.5], num_workers=8, backend="thread"
+    )
+    assigned = [t._args[0] for t in src._threads]
+    assert len(assigned) == 8
+    seen = [set(), set()]
+    for shards in assigned:
+        for sh in shards:
+            idx = 0 if "src0" in sh else 1
+            assert sh not in seen[idx], f"shard {sh} assigned twice"
+            seen[idx].add(sh)
+    assert seen[0] == expected[0]
+    assert seen[1] == expected[1]

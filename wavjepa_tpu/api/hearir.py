@@ -120,10 +120,33 @@ def _fft_convolve_trunc(x: np.ndarray, k: np.ndarray) -> np.ndarray:
     return fftconvolve(x, k, mode="full", axes=-1)[..., : x.shape[-1]]
 
 
+def _fade_noise(noise: np.ndarray, target_len: int, sr: int,
+                duration: float = 0.2) -> np.ndarray:
+    """Reference fade_noise (heaRIR/scene_module/generate_scenes.py:143-154):
+    noise longer than the audio is cut (from the start) and fade-OUT is
+    applied; otherwise both a fade-in and a fade-out (linear, 0.2 s)."""
+    noise = noise.astype(np.float32).copy()
+    n = int(duration * sr)
+    if noise.shape[-1] > target_len:
+        noise = noise[:target_len].copy()
+        m = min(n, noise.shape[-1])
+        noise[-m:] *= np.linspace(1.0, 0.0, m, dtype=np.float32)
+    else:
+        m = min(n, noise.shape[-1])
+        noise[:m] *= np.linspace(0.0, 1.0, m, dtype=np.float32)
+        noise[-m:] *= np.linspace(1.0, 0.0, m, dtype=np.float32)
+    return noise
+
+
 class Augmenter:
-    """Applies a random spatial scene to eval audio (reference
-    augment.py:8-62): source RIR convolution (+ optional noise bed at the
-    configured SNR), output truncated to the input length."""
+    """Applies a random spatial scene to eval audio, reproducing the
+    reference pipeline exactly (augment.py:8-62 →
+    heaRIR/scene_module/generate_scenes.py:process_audio/add_noise):
+    0.2-s linear noise fades, per-RIR convolution of the faded noise at its
+    own length, aggregation + truncation, RANDOM placement of a shorter
+    noise bed, and full-signal SNR scaling
+    (a = 10^((10·log10(E_sig/E_noise) − snr)/20)). Output truncated to the
+    input length."""
 
     def __init__(
         self,
@@ -131,11 +154,13 @@ class Augmenter:
         sr: int,
         snr: Optional[float],
         noise_iter: Optional[NoiseIterator] = None,
+        seed: int = 0,
     ):
         self.spatial_scene_iter = spatial_scene_iter
         self.sr = sr
         self.snr = snr
         self.noise_iter = noise_iter
+        self._rng = np.random.default_rng(seed)
 
     def augment(
         self, audio: np.ndarray, noise: Optional[np.ndarray] = None
@@ -154,22 +179,36 @@ class Augmenter:
             audio = np.pad(
                 audio, ((0, 0), (0, source_rir.shape[-1] - input_len))
             )
-        wet = _fft_convolve_trunc(audio[:, None, :], source_rir[None])  # (1,C,T)
-        wet = wet[0]
+        padded_len = audio.shape[-1]
+        wet = _fft_convolve_trunc(audio[:, None, :], source_rir[None])[0]  # (C,T)
 
         if noise is None and self.noise_iter is not None and self.snr is not None:
             noise = next(self.noise_iter)
         if noise is not None and self.snr is not None and noise_rirs:
-            noise = np.asarray(noise, np.float32).ravel()
-            if noise.shape[-1] < wet.shape[-1]:
-                noise = np.pad(noise, (0, wet.shape[-1] - noise.shape[-1]))
-            noise = noise[: wet.shape[-1]]
-            bed = np.zeros_like(wet)
+            noise = _fade_noise(
+                np.asarray(noise, np.float32).ravel(), padded_len, self.sr
+            )
+            # aggregate: convolve the faded noise with each RIR at the
+            # NOISE's length, sum, then truncate to the padded audio length
+            agg = np.zeros((wet.shape[0], noise.shape[-1]), np.float32)
             for rir in noise_rirs:
-                bed += _fft_convolve_trunc(noise[None, :], rir)[:, : wet.shape[-1]]
+                agg += _fft_convolve_trunc(noise[None, :], rir)[
+                    :, : noise.shape[-1]
+                ]
+            agg = agg[:, :padded_len]
+            if wet.shape[-1] > agg.shape[-1]:
+                # shorter noise lands at a random offset (process_audio's
+                # np.random.randint(0, input_length - agg_len))
+                start = int(
+                    self._rng.integers(0, padded_len - agg.shape[-1])
+                )
+                placed = np.zeros_like(wet)
+                placed[:, start : start + agg.shape[-1]] = agg
+                agg = placed
             e_sig = np.sum(wet**2)
-            e_noise = np.sum(bed**2)
+            e_noise = np.sum(agg**2)
+            # add_noise: scale = 10^((orig_snr_db − snr)/20)
             a = np.sqrt(e_sig / (e_noise + 1e-9) * 10.0 ** (-self.snr / 10.0))
-            wet = wet + a * bed
+            wet = wet + a * agg
 
         return wet[:, :input_len]

@@ -41,11 +41,9 @@ class WavJEPAFeatureExtractor:
         arr = np.asarray(audio, np.float32)
         if arr.ndim == 1:
             arr = arr[None]
-        if arr.ndim == 2:
-            clips = list(arr)
-        else:
-            clips = list(arr)
-        return prepare_batch(clips, self.in_channels)
+        if arr.ndim not in (2, 3):  # (B, T) or (B, C, T)
+            raise ValueError(f"unsupported audio input shape {arr.shape}")
+        return prepare_batch(list(arr), self.in_channels)
 
 
 class WavJEPAForAudioEmbeddings:

@@ -132,12 +132,15 @@ class ShardAudioSource:
         counts = np.maximum(1, np.round(w * self.num_workers).astype(int))
         self._threads = []
         wid = 0
-        total_workers = int(counts.sum())
         for src_idx, n in enumerate(counts):
             for k in range(int(n)):
+                # stripe each source over ITS OWN workers (k of n): striping
+                # by the global worker id against the global count would
+                # leave every source's shards at the other sources' stripe
+                # indices unread — silent data loss under RandomMix
                 shards = split_shards(
                     self.sources[src_idx], self.host_id, self.num_hosts,
-                    wid, total_workers,
+                    k, int(n),
                 ) or list(self.sources[src_idx])
                 args = (
                     shards, self.target_sr, self.target_seconds,
@@ -164,8 +167,13 @@ class ShardAudioSource:
                     t.terminate()
 
     def __iter__(self):
+        # bounded get: a consumer parked in a timeout-less get() could never
+        # observe stop() (the producers are gone, nothing will ever arrive)
         while not self._stop.is_set():
-            yield self.queue.get()
+            try:
+                yield self.queue.get(timeout=1.0)
+            except queue.Empty:
+                continue
 
 
 def shuffled_batches(

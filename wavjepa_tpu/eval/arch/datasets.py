@@ -45,6 +45,7 @@ class ClassificationDataset:
         max_seconds: float = 30.0,
         batch_size: int = 32,
         verbose: bool = False,
+        embedding_cache: Optional[dict] = None,
     ):
         if (audio_paths is None) == (audios is None):
             raise ValueError("provide exactly one of audio_paths or audios")
@@ -60,6 +61,12 @@ class ClassificationDataset:
         self.batch_size = batch_size
         self.verbose = verbose
         self.embeddings: Optional[np.ndarray] = None
+        # shared across the recipe's folds/modes: clip-level embeddings are
+        # identical for linear and non-linear probes, and LOOCV folds reuse
+        # every clip — without the cache each benchmark re-embeds the whole
+        # dataset ~(folds × modes) times through the device
+        self.embedding_cache = embedding_cache
+        self._cache_kind = "token" if mode == "attention-pooling" else "clip"
         if precompute_embeddings:
             self._precompute()
 
@@ -73,17 +80,31 @@ class ClassificationDataset:
             wav = load_clip(self.audio_paths[idx], self.sampling_rate)
         return wav[: self.max_len]
 
+    def _cache_key(self, idx: int):
+        if self.embedding_cache is None or self.audio_paths is None:
+            return None
+        return (self.audio_paths[idx], self._cache_kind)
+
     def _precompute(self):
         """Group clips into equal-padded batches → one device call each."""
         n = len(self)
         out: List[np.ndarray] = [None] * n  # type: ignore
-        order = np.argsort(
-            [
-                -(len(self.audios[i]) if self.audios is not None else 0)
-                for i in range(n)
-            ]
+        todo = []
+        for i in range(n):
+            key = self._cache_key(i)
+            if key is not None and key in self.embedding_cache:
+                out[i] = self.embedding_cache[key]
+            else:
+                todo.append(i)
+        order = np.asarray(
+            sorted(
+                todo,
+                key=lambda i: -(len(self.audios[i]) if self.audios is not None else 0),
+            ),
+            np.int64,
         )
-        for lo in range(0, n, self.batch_size):
+        n_todo = len(order)
+        for lo in range(0, n_todo, self.batch_size):
             idxs = order[lo : lo + self.batch_size]
             clips = [self._load(int(i)) for i in idxs]
             max_len = max(c.shape[-1] for c in clips)
@@ -99,8 +120,15 @@ class ClassificationDataset:
                 ]
             for i, emb in zip(idxs, embs):
                 out[int(i)] = np.asarray(emb, np.float32)
+                key = self._cache_key(int(i))
+                if key is not None:
+                    self.embedding_cache[key] = out[int(i)]
             if self.verbose:
-                print(f"embeddings {min(lo + self.batch_size, n)}/{n}", flush=True)
+                print(
+                    f"embeddings {min(lo + self.batch_size, n_todo)}/{n_todo}"
+                    f" (+{n - n_todo} cached)",
+                    flush=True,
+                )
         if self.mode == "attention-pooling":
             max_t = max(e.shape[0] for e in out)
             out = [np.pad(e, ((0, max_t - e.shape[0]), (0, 0))) for e in out]

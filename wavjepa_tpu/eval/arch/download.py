@@ -55,7 +55,7 @@ REGISTRY: dict[str, DatasetSpec] = {
         ),
         DatasetSpec(
             "us8k",
-            "urbansound8k",
+            "us8k",  # subdir names match the eval CLI's --data-dir layout
             (Archive("https://zenodo.org/record/1203745/files/UrbanSound8K.tar.gz"),),
             renames=(("UrbanSound8K", "."),),
         ),
@@ -137,6 +137,9 @@ REGISTRY: dict[str, DatasetSpec] = {
                 Archive("https://zenodo.org/record/4274930/files/slurp_real.tar.gz"),
                 Archive("https://github.com/pswietojanski/slurp/archive/master.zip"),
             ),
+            # the repo zip nests the jsonl annotations; the recipe reads
+            # <path>/{train,devel,test}.jsonl and <path>/slurp_real/*
+            renames=(("slurp-master/dataset/slurp", "."),),
             note="audio from zenodo + annotations from the slurp repo",
         ),
         DatasetSpec(

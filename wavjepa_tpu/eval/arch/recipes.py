@@ -36,6 +36,20 @@ def _train_val_split(paths, labels, test_size=0.2, seed=42):
     return train_test_split(paths, labels, test_size=test_size, random_state=seed)
 
 
+def resolve_audio_path(path: str) -> str:
+    """Prefer a transcoded .wav/.flac sibling for formats the first-party
+    decoder does not handle (mp3 — FMA-small and MagnaTagATune ship mp3;
+    data/decode.py asks for a one-time transcode). Returns the original path
+    when no sibling exists so the decoder's transcode advice surfaces."""
+    base, ext = os.path.splitext(path)
+    if ext.lower() != ".mp3":
+        return path
+    for alt in (base + ".wav", base + ".flac"):
+        if os.path.exists(alt):
+            return alt
+    return path
+
+
 class _RecipeBase:
     is_multilabel: bool = False
     num_classes: int = 0
@@ -77,12 +91,18 @@ class _RecipeBase:
         learning_rate: float = 1e-3,
         **kwargs,
     ) -> Dict[str, float]:
+        cache = getattr(self, "_embedding_cache", None)
+        if cache is None:
+            cache = self._embedding_cache = {}
+
         def make(split):
             return ClassificationDataset(
                 audio_paths=split[0],
                 labels=split[1],
                 model=model,
                 sampling_rate=model.get_sampling_rate(),
+                embedding_cache=cache,
+                precompute_embeddings=getattr(self, "precompute_embeddings", True),
                 mode=mode,
                 batch_size=batch_size,
             ).arrays()
@@ -118,6 +138,7 @@ class _FoldedRecipe(_RecipeBase):
     def __init__(self, path: str, verbose: bool = False, precompute_embeddings: bool = True):
         self.path = path
         self.verbose = verbose
+        self.precompute_embeddings = precompute_embeddings
         self.folds = self._load_folds()
 
     def _load_folds(self) -> Dict:
@@ -159,6 +180,7 @@ class _SplitRecipe(_RecipeBase):
     def __init__(self, path: str, verbose: bool = False, precompute_embeddings: bool = True):
         self.path = path
         self.verbose = verbose
+        self.precompute_embeddings = precompute_embeddings
         self.splits = self._load_splits()  # {split: (paths, labels)}
 
     def _load_splits(self) -> Dict:
@@ -316,8 +338,12 @@ class FMASmall(_SplitRecipe):
         self.label_map = {g: i for i, g in enumerate(labels_list)}
         self.num_classes = len(labels_list)
         paths = [
-            os.path.join(
-                self.audio_files_path, str(tid)[:3].zfill(3), str(tid).zfill(6) + ".mp3"
+            resolve_audio_path(
+                os.path.join(
+                    self.audio_files_path,
+                    str(tid)[:3].zfill(3),
+                    str(tid).zfill(6) + ".mp3",
+                )
             )
             for tid in small.index
         ]
@@ -354,7 +380,9 @@ class MagnaTagATune(_SplitRecipe):
                 if cid not in by_id.index:
                     continue
                 row = by_id.loc[cid]
-                paths.append(os.path.join(self.path, str(row["mp3_path"])))
+                paths.append(
+                    resolve_audio_path(os.path.join(self.path, str(row["mp3_path"])))
+                )
                 ys.append(row[top].to_numpy(np.float32))
             return paths, np.stack(ys)
 

@@ -253,9 +253,10 @@ class SplitData:
 
 
 def median_filter_1d(x: np.ndarray, width: int) -> np.ndarray:
-    """Median filter along axis 0 with edge replication (scipy-free,
-    matches scipy.ndimage.median_filter(size=(width, 1)) 'reflect'-free
-    center behavior closely enough for the 250 ms default)."""
+    """Median filter along axis 0 — the exact scipy call the reference
+    protocol makes (task_predictions.py:39,506: median_filter(size=(w, 1)),
+    default 'reflect' boundary), so event postprocessing scores stay
+    comparable. scipy is a hard dependency of the event-task path."""
     from scipy.ndimage import median_filter
 
     return median_filter(x, size=(width, 1))
