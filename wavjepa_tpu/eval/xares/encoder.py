@@ -63,4 +63,6 @@ class WavJEPAEncoder(torch.nn.Module):
             raise ValueError(f"expected (B, T) audio, got shape {tuple(audio.shape)}")
         wav = audio.detach().cpu().float().numpy()
         emb, _ts = self.runtime.get_timestamp_embeddings(wav)
-        return torch.from_numpy(np.asarray(emb, np.float32))
+        # copy: the runtime may hand back a read-only buffer, which
+        # torch.from_numpy warns about (undefined behavior on write)
+        return torch.from_numpy(np.array(emb, np.float32, copy=True))
