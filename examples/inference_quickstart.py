@@ -6,8 +6,13 @@ Run: python examples/inference_quickstart.py [checkpoint]
 """
 
 import sys
+from pathlib import Path
 
 import numpy as np
+
+# runnable from anywhere: put the repo root (this file's parent's parent)
+# on sys.path when wavjepa_tpu isn't installed
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
