@@ -19,6 +19,7 @@ block_until_ready; see the project verify skill).
 """
 
 import json
+import math
 import time
 
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.5
@@ -29,7 +30,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
-    from wavjepa_tpu.models.jepa import JEPA, JEPAConfig
+    from wavjepa_tpu.models.jepa import JEPA
     from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch
     from wavjepa_tpu.train.state import TrainState
     from wavjepa_tpu.train.step import (
@@ -47,20 +48,16 @@ def main():
     batch_clips = int(os.environ.get("BENCH_CLIPS", "32")) * n_chips
     n_crops = 8
 
-    # visible-token packing (models/jepa.py:_student_forward_packed) is the
-    # flagship config's default, same derivation as train.py (88/128 at the
-    # AudioSet masker; targets-first order); PACK=0 disables for A/B runs
-    if os.environ.get("PACK", "1") != "0":
-        cfg = JEPAConfig(
-            dtype=jnp.bfloat16,
-            pack_encoder=88,
-            pack_decoder=128,
-            # packing frees the HBM these backward replays traded for
-            remat_conv=False,
-            remat_encoder=False,
-        )
-    else:
-        cfg = JEPAConfig(dtype=jnp.bfloat16)
+    # the EXACT model config train.py derives (visible-token packing 88/128
+    # + remat overrides at the AudioSet defaults) — built through
+    # Config.build_model_config so the bench can never silently measure a
+    # different config than training runs; PACK=0 disables for A/B runs
+    from wavjepa_tpu.train.config import Config
+
+    train_cfg = Config()
+    if os.environ.get("PACK", "1") == "0":
+        train_cfg.trainer.pack_tokens = "off"
+    cfg = train_cfg.build_model_config()
     model = JEPA(cfg)
     params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 1, cfg.target_length))
@@ -90,7 +87,7 @@ def main():
         state, metrics = step(state, audio, key)
     loss = float(metrics["loss"])
     dt = time.perf_counter() - t0
-    assert loss == loss, "non-finite loss"
+    assert math.isfinite(loss), f"non-finite loss {loss}"
 
     clips_per_sec = batch_clips * iters / dt
     value = clips_per_sec / n_chips

@@ -19,9 +19,15 @@ def main(argv=None):
     from wavjepa_tpu.train.config import apply_overrides, load_config
 
     cfg_path = None
-    if argv and argv[0].endswith((".yaml", ".yml")):
+    if argv and argv[0].endswith((".yaml", ".yml")) and "=" not in argv[0]:
         cfg_path = argv.pop(0)
-    cfg = apply_overrides(load_config(cfg_path), argv)
+    raw = None
+    if cfg_path:
+        import yaml
+
+        with open(cfg_path) as f:
+            raw = yaml.safe_load(f) or {}
+    cfg = apply_overrides(load_config(data=raw), argv)
     cfg.model = "Denoiser"
 
     # denoise defaults differ from SSL pretraining (reference
@@ -29,9 +35,7 @@ def main(argv=None):
     # 16 crops/clip, 100 k steps). They yield to values set EITHER on the
     # CLI or in the YAML file — a config-file value must never be clobbered.
     explicit = {o.split("=", 1)[0] for o in argv if "=" in o}
-    if cfg_path:
-        import yaml
-
+    if raw:
         def _walk(d, prefix=""):
             for k, v in (d or {}).items():
                 key = f"{prefix}{k}"
@@ -40,8 +44,7 @@ def main(argv=None):
                 else:
                     explicit.add(key)
 
-        with open(cfg_path) as f:
-            _walk(yaml.safe_load(f))
+        _walk(raw)
 
     def unset(key):
         return key not in explicit
@@ -60,6 +63,14 @@ def main(argv=None):
         # 8 clips × 16 crops fits a 16 GB v5e chip (the reference's 32×16
         # assumes 80 GB GPUs); effective batch scales with data parallelism
         cfg.trainer.batch_size = 8
+    if unset("optimizer.warmup_steps"):
+        cfg = apply_overrides(
+            cfg, [f"optimizer.warmup_steps={min(5000, cfg.trainer.steps)}"]
+        )
+    if unset("optimizer.total_steps"):
+        cfg = apply_overrides(
+            cfg, [f"optimizer.total_steps={cfg.trainer.steps}"]
+        )
 
     print(f"run: Denoise-{cfg.run_identity()}", flush=True)
     from wavjepa_tpu.train.denoise_loop import train_denoiser

@@ -1,7 +1,7 @@
 #!/bin/bash
 # HEAR evaluation over all tasks (counterpart of /root/reference/run_hear.sh,
 # which SLURM-arrays over 11 tasks; here tasks shard over local chips).
-set -e
+set -euo pipefail
 MODULE="${MODULE:-wavjepa_tpu.api.hear_wavjepa}"
 CKPT="${CKPT:-}"
 TASKS_DIR="${TASKS_DIR:-tasks}"

@@ -1,7 +1,7 @@
 #!/bin/bash
 # HEAR evaluation through the HF-parity surface (counterpart of
 # /root/reference/run_hear_hf.sh).
-set -e
+set -euo pipefail
 MODULE="wavjepa_tpu.api.hear_wavjepa_hf"
 CKPT="${CKPT:-}"
 TASKS_DIR="${TASKS_DIR:-tasks}"

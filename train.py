@@ -19,7 +19,7 @@ def main(argv=None):
     from wavjepa_tpu.train.config import apply_overrides, load_config
 
     cfg_path = None
-    if argv and argv[0].endswith((".yaml", ".yml")):
+    if argv and argv[0].endswith((".yaml", ".yml")) and "=" not in argv[0]:
         cfg_path = argv.pop(0)
     cfg = apply_overrides(load_config(cfg_path), argv)
 

@@ -114,17 +114,35 @@ def main(argv=None):
         env = dict(os.environ)
         if args.ckpt:
             env["WAVJEPA_CKPT"] = args.ckpt
+        # bare task filenames live under the xares checkout's src/tasks/
+        # (the reference invokes `xares.run ... src/tasks/$task` from inside
+        # the checkout, run_xares.sh:42); XARES_TASKS_DIR points there
+        task = args.task
+        if not os.path.exists(task) and os.sep not in task:
+            task = os.path.join(
+                os.environ.get("XARES_TASKS_DIR", "src/tasks"), task
+            )
         enc_path = __file__.replace("run.py", "encoder.py")
         cmd = [sys.executable, "-m", "xares.run", "--max-jobs", str(args.max_jobs),
-               enc_path, args.task]
+               enc_path, task]
         raise SystemExit(subprocess.call(cmd, env=env))
 
     from wavjepa_tpu.eval.xares.checker import check_audio_encoder
     from wavjepa_tpu.eval.xares.encoder import WavJEPAEncoder
 
+    if args.task != "stub":
+        # never let a synthetic-stub accuracy masquerade as a real benchmark
+        print(
+            f"WARNING: xares is not installed — running the built-in "
+            f"SYNTHETIC stub task, NOT {args.task!r}; the reported metric is "
+            f"not an X-ARES score",
+            file=sys.stderr,
+        )
     encoder = WavJEPAEncoder(ckpt_path=args.ckpt)
     check_audio_encoder(encoder)
-    result = run_stub_task(encoder, args.task)
+    result = run_stub_task(
+        encoder, "stub" if args.task == "stub" else f"stub({args.task})"
+    )
     print(json.dumps(result))
     return result
 

@@ -390,12 +390,18 @@ _SUBCONFIGS = {
 }
 
 
-def load_config(path: Optional[str] = None) -> Config:
-    if path is None:
-        return Config()
-    import yaml
+def load_config(
+    path: Optional[str] = None, data: Optional[dict] = None
+) -> Config:
+    """Build a Config from a YAML file path or an already-parsed dict
+    (callers that also need the raw keys — e.g. denoise.py's
+    default-layering — parse once and pass `data`)."""
+    if data is None:
+        if path is None:
+            return Config()
+        import yaml
 
-    data = yaml.safe_load(Path(path).read_text()) or {}
+        data = yaml.safe_load(Path(path).read_text()) or {}
     return _from_dict(Config, data)
 
 

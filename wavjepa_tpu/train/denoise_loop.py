@@ -166,8 +166,23 @@ def train_denoiser(
         eps=cfg.optimizer.eps,
         weight_decay=cfg.optimizer.weight_decay,
         grad_clip=cfg.optimizer.grad_clip,
-        warmup_steps=min(5_000, cfg.trainer.steps),
-        total_steps=cfg.trainer.steps,
+        # denoise.py sets warmup/total defaults (5k / trainer.steps) only
+        # when the user didn't — never clobber explicit CLI/YAML values.
+        # Direct callers that left the SSL pretraining defaults untouched
+        # (100k/375k — nonsense for a distillation run) get the same
+        # denoise defaults applied here.
+        warmup_steps=(
+            min(5_000, cfg.trainer.steps)
+            if (cfg.optimizer.warmup_steps, cfg.optimizer.total_steps)
+            == (100_000, 375_000)
+            else cfg.optimizer.warmup_steps
+        ),
+        total_steps=(
+            cfg.trainer.steps
+            if (cfg.optimizer.warmup_steps, cfg.optimizer.total_steps)
+            == (100_000, 375_000)
+            else cfg.optimizer.total_steps
+        ),
     )
     tx, lr_sched = make_denoise_optimizer(opt_cfg)
     state = DenoiseTrainState.create(student_params, tx)
