@@ -34,17 +34,8 @@ def main(argv=None):
     # configs/optimizer adamW denoise: lr 1e-4 wd 0, grad clip 1.0,
     # 16 crops/clip, 100 k steps). They yield to values set EITHER on the
     # CLI or in the YAML file — a config-file value must never be clobbered.
-    explicit = {o.split("=", 1)[0] for o in argv if "=" in o}
-    if raw:
-        def _walk(d, prefix=""):
-            for k, v in (d or {}).items():
-                key = f"{prefix}{k}"
-                if isinstance(v, dict):
-                    _walk(v, key + ".")
-                else:
-                    explicit.add(key)
-
-        _walk(raw)
+    # load_config/apply_overrides record every YAML- and CLI-set key
+    explicit = set(cfg.explicit_keys)
 
     def unset(key):
         return key not in explicit

@@ -63,6 +63,37 @@ def test_run_identity_stable():
     assert "Data=AudioSet" in ident and "ModelSize=base" in ident
 
 
+def test_explicit_keys_tracks_yaml_and_cli(tmp_path):
+    """ADVICE r2: consumers that layer defaults (denoise.py) must see exactly
+    the keys the user set — from the YAML file AND CLI overrides — so a user
+    who explicitly asks for the SSL-default values keeps them."""
+    p = tmp_path / "c.yaml"
+    p.write_text("optimizer:\n  warmup_steps: 100000\ntrainer:\n  steps: 7\n")
+    cfg = load_config(str(p))
+    assert "optimizer.warmup_steps" in cfg.explicit_keys
+    assert "trainer.steps" in cfg.explicit_keys
+    assert "optimizer.total_steps" not in cfg.explicit_keys
+    cfg = apply_overrides(cfg, ["optimizer.total_steps=375000"])
+    assert "optimizer.total_steps" in cfg.explicit_keys
+    # bookkeeping never leaks into serialized config
+    from wavjepa_tpu.train.config import config_to_dict
+
+    assert "explicit_keys" not in config_to_dict(cfg)
+
+
+def test_optional_coercion_dispatches_on_declared_type():
+    """ADVICE r2: '=1'/'=0' on an Optional[bool] field becomes a bool, while
+    'null' clears it — dispatch is on the DECLARED type, not the current
+    value (which is None and carries no type)."""
+    cfg = load_config(None)
+    cfg = apply_overrides(cfg, ["trainer.remat_encoder=0"])
+    assert cfg.trainer.remat_encoder is False
+    cfg = apply_overrides(cfg, ["trainer.remat_encoder=true"])
+    assert cfg.trainer.remat_encoder is True
+    cfg = apply_overrides(cfg, ["trainer.remat_encoder=null"])
+    assert cfg.trainer.remat_encoder is None
+
+
 def test_prefetch_to_device_preserves_order_and_shards():
     import jax
     import numpy as np

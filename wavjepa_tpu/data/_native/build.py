@@ -65,7 +65,14 @@ def build(force: bool = False) -> Path:
         except (json.JSONDecodeError, OSError):
             pass
     cmd = ["g++", *FLAGS, "-o", str(LIB), *[str(s) for s in SOURCES]]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        # surface the compiler diagnostics — callers fall back to scipy and
+        # would otherwise only print an opaque CalledProcessError repr
+        raise RuntimeError(
+            f"native build failed (exit {proc.returncode}): {' '.join(cmd)}\n"
+            f"{proc.stderr.strip()}"
+        )
     META.write_text(json.dumps(want))
     return LIB
 

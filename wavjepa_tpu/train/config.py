@@ -160,6 +160,12 @@ class Config:
     # denoiser-only
     alpha: float = 0.0
     teacher_ckpt: str = ""
+    # dotted keys the user set explicitly (YAML file or CLI override) —
+    # consumers that layer defaults (denoise.py, denoise_loop) must never
+    # clobber these. Populated by load_config/apply_overrides.
+    explicit_keys: set = dataclasses.field(
+        default_factory=set, repr=False, compare=False
+    )
 
     def run_identity(self) -> str:
         """Hierarchical run name from config (reference utils.py:1-23)."""
@@ -232,18 +238,33 @@ class Config:
             int(m.target_prob * t / m.target_length) + 1
         ) * m.target_length
         pd = min(t, -(-(pe + max_tgt) // 8) * 8)
-        # snap only when the SAMPLED exceedance fraction over 128 is in the
-        # ~1e-4 tail (<=3e-4; device-measured at the AudioSet defaults:
-        # p99.99 = 125, max 137 over 82k samples) — a deep-percentile
-        # estimate from the sample is too noisy, an exceedance count is not
-        frac_over = float((grp_counts > 128).mean())
+        # snap only when the SAMPLED exceedance fraction over the snap point
+        # is in the ~1e-4 tail (<=3e-4; device-measured at the AudioSet
+        # defaults: p99.99 = 125, max 137 over 82k samples) — a
+        # deep-percentile estimate from the sample is too noisy, an
+        # exceedance count is not. The snap point never goes below the hard
+        # target bound (ceil8(max_tgt)): with targets packed first, overflow
+        # can then only ever drop CONTEXT keys — target terms can never fall
+        # out of the pack, so the packed loss numerator stays exact.
+        snap = max(128, -(-max_tgt // 8) * 8)
+        frac_over = float((grp_counts > snap).mean())
         if (
             self.trainer.pack_tokens == "auto"
-            and 128 <= pd
+            and snap <= pd
             and frac_over <= 3e-4
             and t > 160
         ):
-            pd = 128
+            if frac_over > 0.0 and not getattr(self, "_warned_pack_snap", False):
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "pack_tokens=auto snaps pack_decoder %d -> %d; sampled "
+                    "fraction of decoder groups over the budget = %.2e "
+                    "(positionally-last context keys drop in that tail)",
+                    pd, snap, frac_over,
+                )
+                object.__setattr__(self, "_warned_pack_snap", True)
+            pd = snap
         return pe * c, pd * c
 
     def build_model_config(self):
@@ -402,10 +423,36 @@ def load_config(
         import yaml
 
         data = yaml.safe_load(Path(path).read_text()) or {}
-    return _from_dict(Config, data)
+    cfg = _from_dict(Config, data)
+
+    def _walk(d: dict, prefix: str = ""):
+        for k, v in (d or {}).items():
+            key = f"{prefix}{k}"
+            if isinstance(v, dict):
+                _walk(v, key + ".")
+            else:
+                cfg.explicit_keys.add(key)
+
+    _walk(data)
+    return cfg
 
 
-def _coerce(value: str, current: Any) -> Any:
+def _optional_base(decl: Any) -> Any:
+    """Optional[X] → X (None if `decl` is not a 1-type Optional)."""
+    import typing
+
+    args = typing.get_args(decl)
+    non_none = [a for a in args if a is not type(None)]
+    if type(None) in args and len(non_none) == 1:
+        return non_none[0]
+    return None
+
+
+def _coerce(value: str, current: Any, decl: Any = None) -> Any:
+    if value.lower() in ("null", "none"):
+        # must precede the bool branch: an Optional[bool] currently holding
+        # True would otherwise coerce "null" to False instead of clearing it
+        return None
     if isinstance(current, bool):
         return value.lower() in ("1", "true", "yes")
     if isinstance(current, int) and not isinstance(current, bool):
@@ -414,13 +461,21 @@ def _coerce(value: str, current: Any) -> Any:
         return float(value)
     if value.startswith(("[", "{")):
         return json.loads(value)
-    if value.lower() in ("null", "none"):
-        return None
-    # Optional[bool] fields (e.g. trainer.remat_encoder) default to None, so
-    # the isinstance(bool) branch never fires — without this, "=false" would
-    # store the TRUTHY string "false" and silently invert the override
-    if current is None and value.lower() in ("true", "false", "1", "0", "yes", "no"):
-        return value.lower() in ("1", "true", "yes")
+    # Fields whose current value is None (Optional[...] defaults, e.g.
+    # trainer.remat_encoder) carry no type information in `current`, so
+    # dispatch on the DECLARED field type — "=false" on Optional[bool] must
+    # become False (not the truthy string "false"), while "=1" on a future
+    # Optional[int] must become int 1 (not True).
+    if current is None:
+        base = _optional_base(decl) if decl is not None else None
+        if base is bool:
+            return value.lower() in ("1", "true", "yes")
+        if base is int:
+            return int(value)
+        if base is float:
+            return float(value)
+        if base is None and value.lower() in ("true", "false", "yes", "no"):
+            return value.lower() in ("true", "yes")
     return value
 
 
@@ -439,7 +494,16 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
             objs.append(getattr(objs[-1], key))
         leaf_obj, leaf_key = objs[-1], keys[-1]
         current = getattr(leaf_obj, leaf_key)
-        new_value = _coerce(value, current)
+        decl = None
+        if current is None and dataclasses.is_dataclass(leaf_obj):
+            import typing
+
+            try:
+                decl = typing.get_type_hints(type(leaf_obj)).get(leaf_key)
+            except Exception:
+                decl = None
+        new_value = _coerce(value, current, decl)
+        cfg.explicit_keys.add(dotted)
         # rebuild frozen dataclasses bottom-up
         updated = new_value
         for obj, key in zip(reversed(objs), reversed(keys)):
@@ -452,4 +516,6 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
 
 
 def config_to_dict(cfg) -> dict:
-    return dataclasses.asdict(cfg)
+    d = dataclasses.asdict(cfg)
+    d.pop("explicit_keys", None)  # bookkeeping, not configuration
+    return d

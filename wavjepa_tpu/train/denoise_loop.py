@@ -166,21 +166,27 @@ def train_denoiser(
         eps=cfg.optimizer.eps,
         weight_decay=cfg.optimizer.weight_decay,
         grad_clip=cfg.optimizer.grad_clip,
-        # denoise.py sets warmup/total defaults (5k / trainer.steps) only
-        # when the user didn't — never clobber explicit CLI/YAML values.
-        # Direct callers that left the SSL pretraining defaults untouched
-        # (100k/375k — nonsense for a distillation run) get the same
-        # denoise defaults applied here.
+        # Denoise warmup/total defaults (5k / trainer.steps) apply only when
+        # the user left the SSL pretraining defaults (100k/375k — nonsense
+        # for a distillation run) AND didn't set the fields explicitly
+        # (cfg.explicit_keys tracks YAML/CLI-set keys) — a user who
+        # explicitly asks for exactly 100k/375k keeps those values.
         warmup_steps=(
             min(5_000, cfg.trainer.steps)
-            if (cfg.optimizer.warmup_steps, cfg.optimizer.total_steps)
-            == (100_000, 375_000)
+            if (
+                (cfg.optimizer.warmup_steps, cfg.optimizer.total_steps)
+                == (100_000, 375_000)
+                and "optimizer.warmup_steps" not in cfg.explicit_keys
+            )
             else cfg.optimizer.warmup_steps
         ),
         total_steps=(
             cfg.trainer.steps
-            if (cfg.optimizer.warmup_steps, cfg.optimizer.total_steps)
-            == (100_000, 375_000)
+            if (
+                (cfg.optimizer.warmup_steps, cfg.optimizer.total_steps)
+                == (100_000, 375_000)
+                and "optimizer.total_steps" not in cfg.explicit_keys
+            )
             else cfg.optimizer.total_steps
         ),
     )

@@ -139,6 +139,7 @@ def make_jepa_train_step(
     ema_cfg: EMAConfig = EMAConfig(),
     scene_cfg: Optional[NatSceneConfig] = None,
     donate: bool = True,
+    return_grads: bool = False,
 ):
     """Build the jitted train step.
 
@@ -200,7 +201,18 @@ def make_jepa_train_step(
             # but required for the packed gather to stay exact). Targets live in
             # the masked region, so the XOR-rebuilt visibility stays
             # consistent (reference masking.py:116 convention).
-            over = jnp.cumsum(~ctx_mask, axis=-1) > cfg.pack_encoder
+            chans = cfg.in_channels if masker_cfg.channel_based_masking else 1
+            if chans > 1:
+                # channel-tiled masks are identical per channel (channel-
+                # major layout, maskers._tile_channels); a flat cumsum would
+                # flip only trailing-channel copies and break that
+                # invariant, so cut per channel at the per-channel budget.
+                vis = (~ctx_mask).reshape(ctx_mask.shape[0], chans, -1)
+                over = (
+                    jnp.cumsum(vis, axis=-1) > cfg.pack_encoder // chans
+                ).reshape(ctx_mask.shape)
+            else:
+                over = jnp.cumsum(~ctx_mask, axis=-1) > cfg.pack_encoder
             ctx_mask = ctx_mask | over
             visible_masks = jnp.logical_xor(ctx_mask[:, None, :], target_masks)
 
@@ -230,6 +242,10 @@ def make_jepa_train_step(
             "lr": lr_schedule(state.step),
             "grad_norm": optax.global_norm(grads),
         }
+        if return_grads:
+            # per-leaf gradient tree for parallelism-equivalence gates
+            # (__graft_entry__ DP-vs-TP allclose); never set in production
+            metrics["grads"] = grads
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
