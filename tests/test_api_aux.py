@@ -174,3 +174,126 @@ class TestAugmenterSceneParity:
 
         audio, _, out, sr = self._aug(snr=None)
         np.testing.assert_allclose(out, audio, atol=1e-6)
+
+
+# --------------------------------------------------------- padding-mask parity
+
+
+def _reference_calculate_padding_mask():
+    """Extract the reference's calculate_padding_mask via AST so we run the
+    ACTUAL reference code (/root/reference/hear_api/runtime.py:19-35) without
+    importing its module (whose top-level imports need wavjepa/torchaudio)."""
+    import ast
+
+    import torch
+
+    src = open("/root/reference/hear_api/runtime.py").read()
+    tree = ast.parse(src)
+    fn = next(
+        n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name == "calculate_padding_mask"
+    )
+    ns = {"torch": torch}
+    exec(compile(ast.Module(body=[fn], type_ignores=[]), "ref_runtime", "exec"), ns)
+    return ns["calculate_padding_mask"]
+
+
+class TestChunkPaddingReferenceParity:
+    """VERDICT r2 #4: duration sweep of the output-step padding math against
+    the reference's own integer-second formula (runtime.py:19-35, called at
+    runtime.py:118-126 with process_seconds = target_length // sample_rate)."""
+
+    SR = 16000
+    UNIT = int(2.01 * SR)  # 32160 (reference runtime.py:81)
+    STEPS = 200
+
+    def _reference(self, cur_frames: int):
+        import types
+
+        import torch
+
+        fn = _reference_calculate_padding_mask()
+        pad_frames = self.UNIT - (cur_frames % self.UNIT)
+        padded_len = cur_frames + pad_frames
+        mask, cut_off = fn(
+            pad_frames=pad_frames,
+            total_frames=padded_len,
+            sr=self.SR,
+            output_steps=self.STEPS,
+            process_seconds=self.UNIT // self.SR,
+            model=types.SimpleNamespace(device=torch.device("cpu")),
+            B=1,
+        )
+        return pad_frames, padded_len // self.UNIT, cut_off, mask
+
+    @pytest.mark.parametrize(
+        "seconds",
+        [
+            0.3, 0.5, 1.0, 1.5, 2.0, 2.01, 2.5, 3.0, 4.0, 4.02, 5.0, 6.03,
+            7.77, 8.04, 10.0, 12.06, 15.0, 20.0, 20.1, 25.0, 30.0, 30.15,
+        ],
+    )
+    def test_duration_sweep(self, seconds):
+        from wavjepa_tpu.api.runtime import chunk_padding
+
+        cur = int(seconds * self.SR)
+        ref_pad, ref_chunks, ref_cut, ref_mask = self._reference(cur)
+        pad, chunks, cut, total = chunk_padding(cur, self.UNIT, self.SR, self.STEPS)
+        assert (pad, chunks) == (ref_pad, ref_chunks)
+        assert cut == ref_cut
+        # the reference mask is True exactly on the trimmed rows
+        assert int((~ref_mask[0]).sum()) == ref_cut
+
+    def test_sample_offsets_around_multiples(self):
+        """±1-sample edges around window multiples (where int() truncation
+        bites) must agree exactly."""
+        from wavjepa_tpu.api.runtime import chunk_padding
+
+        for base in (self.UNIT, 2 * self.UNIT, 5 * self.UNIT):
+            for off in (-1, 0, 1):
+                cur = base + off
+                _, _, ref_cut, _ = self._reference(cur)
+                _, _, cut, _ = chunk_padding(cur, self.UNIT, self.SR, self.STEPS)
+                assert cut == ref_cut, f"cur={cur}"
+
+    def test_runtime_rows_match_formula(self):
+        """End-to-end: a tiny integer-window-seconds runtime must emit
+        exactly cut_off rows and matching timestamps."""
+        import jax
+
+        from wavjepa_tpu.api.runtime import RuntimeJEPA, chunk_padding
+        from wavjepa_tpu.models.jepa import JEPA, JEPAConfig
+
+        cfg = JEPAConfig(
+            conv_spec=((16, 10, 5), (16, 3, 2)),
+            encoder_layers=1,
+            encoder_dim=32,
+            encoder_heads=4,
+            decoder_layers=1,
+            decoder_dim=16,
+            decoder_heads=4,
+            sample_rate=1600,
+            process_seconds=2.01,
+            average_top_k_layers=1,
+        )
+        model = JEPA(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), np.zeros((1, 1, cfg.target_length), np.float32)
+        )["params"]
+        rt = RuntimeJEPA(cfg, params)
+        rng = np.random.default_rng(1)
+        for seconds in (1.0, 2.01, 3.3):
+            cur = int(seconds * cfg.sample_rate)
+            clip = rng.standard_normal((1, cur)).astype(np.float32)
+            emb, ts = rt.get_timestamp_embeddings(clip)
+            _, _, cut, _ = chunk_padding(
+                cur, rt.unit_frames, cfg.sample_rate, rt.output_steps
+            )
+            assert emb.shape[1] == cut
+            assert ts.shape == (1, cut)
+            # timestamps: uniform grid over the true clip duration
+            # (reference get_timestamps, runtime.py:149-156); note the true
+            # duration is cur/sr, not `seconds` (int() truncation above)
+            step = cur / cfg.sample_rate / cut * 1000.0
+            np.testing.assert_allclose(ts[0], step * np.arange(cut), rtol=1e-6)

@@ -27,6 +27,40 @@ from wavjepa_tpu.api.feature_helper import prepare_batch
 from wavjepa_tpu.models.jepa import JEPA, JEPAConfig
 
 
+def chunk_padding(
+    cur_frames: int, unit_frames: int, sample_rate: int, output_steps: int
+) -> tuple[int, int, int, int]:
+    """Window/padding bookkeeping for chunked timestamp embeddings.
+
+    Returns (pad_frames, n_chunks, cut_off, total_steps). Reproduces the
+    reference bit-exactly (runtime.py:19-35 + 98-116): pad unconditionally
+    to the next multiple of unit_frames (an exact multiple still gains a
+    full pad window), then compute the output cut-off with INTEGER window
+    seconds — process_seconds = target_length // sample_rate (= 2, not
+    2.01), output_sr = int(output_steps / process_seconds) (= 100 Hz, not
+    99.5), pad_steps TRUNCATED. Note the consequences faithfully kept: an
+    exactly-2.01-s clip yields 199 rows (pad_steps = int(2.01·100) = 201),
+    and n_chunks_ref = int(padded_seconds / 2) which equals the real chunk
+    count for all durations below ~400 s. Sub-second window configs (the
+    reference formula would floor-divide to 0) use the true float rate.
+    """
+    pad_frames = unit_frames - (cur_frames % unit_frames)
+    padded_len = cur_frames + pad_frames
+    n_chunks = padded_len // unit_frames
+    total_steps = output_steps * n_chunks
+    ps_int = unit_frames // sample_rate
+    if ps_int >= 1:
+        n_chunks_ref = int((padded_len / sample_rate) / ps_int)
+        output_sr = int(output_steps / ps_int)
+        pad_steps = int(pad_frames / sample_rate * output_sr)
+        cut_off = min(output_steps * n_chunks_ref - pad_steps, total_steps)
+    else:
+        output_sr = output_steps * sample_rate / unit_frames
+        pad_steps = int(round(pad_frames / sample_rate * output_sr))
+        cut_off = total_steps - pad_steps
+    return pad_frames, n_chunks, cut_off, total_steps
+
+
 class RuntimeJEPA:
     """Wraps a JEPA model + params for the HEAR contract."""
 
@@ -87,20 +121,15 @@ class RuntimeJEPA:
         b, c, cur_frames = batch.shape
         input_len = cur_frames
 
-        # pad to a multiple of unit_frames; an exact multiple still gains a
-        # full pad window (reference runtime.py:108-116 pads unconditionally)
-        pad_frames = self.unit_frames - (cur_frames % self.unit_frames)
+        # pad to a multiple of unit_frames (an exact multiple still gains a
+        # full pad window) and compute the output-step cut-off with the
+        # reference's integer-second padding math — see chunk_padding, which
+        # is duration-swept against the reference's own
+        # calculate_padding_mask in tests/test_api_aux.py.
+        pad_frames, n_chunks, cut_off, total_steps = chunk_padding(
+            cur_frames, self.unit_frames, self.sample_rate, self.output_steps
+        )
         padded = np.pad(batch, ((0, 0), (0, 0), (0, pad_frames)))
-        n_chunks = padded.shape[-1] // self.unit_frames
-
-        # output-step padding mask (reference calculate_padding_mask,
-        # runtime.py:19-35): pad_steps at 100 steps/sec of padding
-        total_steps = self.output_steps * n_chunks
-        # steps/sec of the frontend (the reference uses integer seconds here,
-        # runtime.py:19-35 — float keeps sub-second window configs valid)
-        output_sr = self.output_steps * self.sample_rate / self.unit_frames
-        pad_steps = int(round(pad_frames / self.sample_rate * output_sr))
-        cut_off = total_steps - pad_steps
         step_mask = np.zeros((b, total_steps), bool)
         step_mask[:, cut_off:] = True
 
