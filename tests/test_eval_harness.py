@@ -195,3 +195,82 @@ def test_segment_error_rate():
     # empty predictions → all deletions → ER 1
     ret = dict(score({"f1": []}, targets))
     assert ret["error_rate"] == pytest.approx(1.0)
+
+
+# ------------------------------------------------- sed_eval conformance (r3)
+
+
+def test_event_score_maximum_matching_beats_greedy():
+    """sed_eval matches events with MAXIMUM bipartite matching (util.
+    bipartite_match), not greedy first-fit. Fixture where sorted greedy
+    finds 1 pair but the maximum is 2 (offset condition breaks the interval
+    structure): E1 can match R1 or R2, E2 only R1 — optimal assigns E1→R2."""
+    score = available_scores["event_onset_offset_50ms_20perc_fms"](
+        label_to_idx={"a": 0}
+    )
+    targets = {
+        "f1": [
+            {"label": "a", "start": 100.0, "end": 600.0},  # R1 len 0.5s tol 0.1
+            {"label": "a", "start": 120.0, "end": 450.0},  # R2 len .33s tol .066
+        ]
+    }
+    preds = {
+        "f1": [
+            {"label": "a", "start": 90.0, "end": 510.0},  # E1: R1 ✓, R2 ✓
+            {"label": "a", "start": 110.0, "end": 650.0},  # E2: R1 ✓, R2 ✗ (offset)
+        ]
+    }
+    ret = dict(score(preds, targets))
+    assert ret["f_measure"] == pytest.approx(1.0)
+    assert ret["precision"] == pytest.approx(1.0)
+    assert ret["recall"] == pytest.approx(1.0)
+
+
+def test_event_score_iterates_prediction_files_only():
+    """heareval evaluates per prediction file (score.py:225-229): reference
+    events in files absent from predictions never enter the denominators."""
+    score = available_scores["event_onset_200ms_fms"](label_to_idx={"a": 0})
+    targets = {
+        "f1": [{"label": "a", "start": 0.0, "end": 1000.0}],
+        "f2": [{"label": "a", "start": 0.0, "end": 1000.0}],  # unseen file
+    }
+    preds = {"f1": [{"label": "a", "start": 50.0, "end": 1000.0}]}
+    ret = dict(score(preds, targets))
+    assert ret["recall"] == pytest.approx(1.0)  # f2's ref not counted
+
+
+def test_event_score_onset_collar_boundary():
+    """sed_eval validate_onset uses ≤: a diff of exactly t_collar matches."""
+    score = available_scores["event_onset_200ms_fms"](label_to_idx={"a": 0})
+    targets = {"f1": [{"label": "a", "start": 1000.0, "end": 2000.0}]}
+    preds = {"f1": [{"label": "a", "start": 1200.0, "end": 2000.0}]}
+    assert dict(score(preds, targets))["f_measure"] == pytest.approx(1.0)
+
+
+def test_segment_grid_extends_to_estimated_events():
+    """sed_eval sizes the per-file grid from the max offset over BOTH lists:
+    ref ends 1.5s, est spans 3.2–4.0s → 4 segments; hand-computed
+    ER = (S0 + D2 + I1) / Nref2 = 1.5."""
+    score = available_scores["segment_1s_er"](label_to_idx={"a": 0})
+    targets = {"f1": [{"label": "a", "start": 0.0, "end": 1500.0}]}
+    preds = {"f1": [{"label": "a", "start": 3200.0, "end": 4000.0}]}
+    assert dict(score(preds, targets))["error_rate"] == pytest.approx(1.5)
+
+
+def test_segment_substitution_counting():
+    """Cross-class substitution in one segment: ref 'a', est 'b' in seg 0
+    → S=1, D=0, I=0, ER = 1/1 (sed_eval joint per-segment S/D/I)."""
+    score = available_scores["segment_1s_er"](label_to_idx={"a": 0, "b": 1})
+    targets = {"f1": [{"label": "a", "start": 0.0, "end": 900.0}]}
+    preds = {"f1": [{"label": "b", "start": 100.0, "end": 800.0}]}
+    assert dict(score(preds, targets))["error_rate"] == pytest.approx(1.0)
+
+
+def test_sed_scores_empty_inputs_are_zero_not_nan():
+    """sed_eval.metric carries eps=np.spacing(1) in denominators: 0/0 → 0."""
+    ev = available_scores["event_onset_200ms_fms"](label_to_idx={"a": 0})
+    seg = available_scores["segment_1s_er"](label_to_idx={"a": 0})
+    assert dict(ev({}, {}))["f_measure"] == 0.0
+    assert dict(seg({}, {}))["error_rate"] == 0.0
+    # prediction file exists but both lists empty
+    assert dict(ev({"f1": []}, {"f1": []}))["f_measure"] == 0.0

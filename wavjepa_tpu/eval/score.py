@@ -140,46 +140,66 @@ class AUCROC(ScoreFunction):
 
 
 # ----------------------------------------------------------- SED metrics
+#
+# sed_eval-exact re-implementations. The reference scores DCASE-style event
+# tasks with sed_eval.sound_event.{EventBased,SegmentBased}Metrics
+# (reference score.py:270-292,365-385): per file (iterating PREDICTION files
+# only, score.py:225-229), events converted ms→seconds
+# (sed_eval_event_container, score.py:244-261), then sed_eval's overall
+# (micro) accumulation. Conventions reproduced exactly:
+#   * denominators carry sed_eval.metric's eps = numpy.spacing(1) instead of
+#     zero-guards (0/0 → 0.0);
+#   * event matching is MAXIMUM bipartite matching on the (label, onset
+#     collar, optional offset collar) hit graph — not greedy first-fit;
+#   * onset condition |ref_on − est_on| ≤ t_collar; offset condition
+#     |ref_off − est_off| ≤ max(t_collar, percentage_of_length · ref_len);
+#   * segment grid per file: n_segments = ceil(max_offset_over_both_lists /
+#     time_resolution); event roll onset = floor(on/res), offset =
+#     ceil(off/res); per-segment joint counts Ntp/Nref/Nsys with
+#     S = min(Nref,Nsys) − Ntp, D = max(0, Nref−Nsys), I = max(0, Nsys−Nref);
+#   * overall ER = (ΣS + ΣD + ΣI) / (ΣNref + eps), F from ΣNtp/ΣNsys/ΣNref.
+# Conformance fixtures (incl. a case where greedy ≠ maximum matching and
+# file-duration grid edges) live in tests/test_eval_harness.py.
 
 EventDict = Dict[str, List[Dict[str, Any]]]
 
+_EPS = float(np.spacing(1))  # sed_eval.metric eps convention
 
-def _match_events(
-    refs: List[dict],
-    ests: List[dict],
-    t_collar: float,
-    evaluate_offset: bool,
-    percentage_of_length: float,
-) -> int:
-    """Greedy onset(-offset) matching within one (file, label) group; returns
-    the number of matched (true-positive) estimated events. Events are in ms;
-    t_collar in seconds (sed_eval convention, score.py:365-385)."""
-    collar_ms = t_collar * 1000.0
-    matched_ref = [False] * len(refs)
-    tp = 0
-    for est in sorted(ests, key=lambda e: e["start"]):
-        for i, ref in enumerate(sorted(refs, key=lambda e: e["start"])):
-            if matched_ref[i]:
-                continue
-            onset_ok = abs(est["start"] - ref["start"]) <= collar_ms
-            if not onset_ok:
-                continue
-            if evaluate_offset:
-                # sed_eval: offset condition = within max(t_collar,
-                # percentage_of_length · ref duration)
-                tol = max(collar_ms, percentage_of_length * (ref["end"] - ref["start"]))
-                if abs(est["end"] - ref["end"]) > tol:
-                    continue
-            matched_ref[i] = True
-            tp += 1
-            break
-    return tp
+
+def _to_seconds(events: List[dict]) -> List[Tuple[str, float, float]]:
+    """heareval event dicts (ms) → (label, onset_s, offset_s), the unit
+    sed_eval receives (reference score.py:252-258)."""
+    return [
+        (str(e["label"]), e["start"] / 1000.0, e["end"] / 1000.0) for e in events
+    ]
+
+
+def _max_matching(adj: List[List[int]], n_right: int) -> int:
+    """Maximum-cardinality bipartite matching (Kuhn's augmenting paths);
+    cardinality equals sed_eval util.bipartite_match's Hopcroft–Karp."""
+    match_right = [-1] * n_right
+
+    def try_augment(u: int, seen: List[bool]) -> bool:
+        for v in adj[u]:
+            if not seen[v]:
+                seen[v] = True
+                if match_right[v] == -1 or try_augment(match_right[v], seen):
+                    match_right[v] = u
+                    return True
+        return False
+
+    matched = 0
+    for u in range(len(adj)):
+        if try_augment(u, [False] * n_right):
+            matched += 1
+    return matched
 
 
 class EventBasedScore(ScoreFunction):
     """Event-instance F-measure with an onset collar (and optional offset
-    condition) — sed_eval EventBasedMetrics "overall" scores, micro-averaged
-    over all files and labels (reference score.py:283-292, 365-385)."""
+    condition) — sed_eval EventBasedMetrics overall scores, accumulated over
+    prediction files (reference score.py:283-292 usage, sed_eval defaults
+    percentage_of_length=0.5)."""
 
     def __init__(
         self,
@@ -193,42 +213,45 @@ class EventBasedScore(ScoreFunction):
         self.scores = scores
         params = params or {}
         self.t_collar = params.get("t_collar", 0.2)
-        self.evaluate_offset = params.get("evaluate_offset", False)
-        self.percentage_of_length = params.get("percentage_of_length", 0.0)
+        self.evaluate_onset = params.get("evaluate_onset", True)
+        self.evaluate_offset = params.get("evaluate_offset", True)
+        self.percentage_of_length = params.get("percentage_of_length", 0.5)
+
+    def _hit(self, ref: Tuple[str, float, float], est: Tuple[str, float, float]) -> bool:
+        if ref[0] != est[0]:
+            return False
+        if self.evaluate_onset and abs(ref[1] - est[1]) > self.t_collar:
+            return False
+        if self.evaluate_offset:
+            tol = max(self.t_collar, self.percentage_of_length * (ref[2] - ref[1]))
+            if abs(ref[2] - est[2]) > tol:
+                return False
+        return True
 
     def _compute(self, predictions: EventDict, targets: EventDict, **kwargs) -> Ret:
         ntp = nref = nsys = 0
-        # union of files: reference events without predictions still count
-        # toward nref (sed_eval evaluates every file it is shown)
-        for filename in set(predictions) | set(targets):
-            ests = predictions.get(filename, [])
-            refs = targets.get(filename, [])
+        # heareval iterates over PREDICTION files only (score.py:225-229);
+        # targets for files absent from predictions are never evaluated
+        for filename in predictions:
+            ests = _to_seconds(predictions.get(filename, []))
+            refs = _to_seconds(targets.get(filename, []))
             nsys += len(ests)
             nref += len(refs)
-            labels = {e["label"] for e in ests} | {e["label"] for e in refs}
-            for label in labels:
-                ntp += _match_events(
-                    [e for e in refs if e["label"] == label],
-                    [e for e in ests if e["label"] == label],
-                    self.t_collar,
-                    self.evaluate_offset,
-                    self.percentage_of_length,
-                )
-        precision = ntp / nsys if nsys else 0.0
-        recall = ntp / nref if nref else 0.0
-        f = (
-            2 * precision * recall / (precision + recall)
-            if precision + recall > 0
-            else 0.0
-        )
+            adj = [
+                [j for j, est in enumerate(ests) if self._hit(ref, est)]
+                for ref in refs
+            ]
+            ntp += _max_matching(adj, len(ests))
+        precision = ntp / (nsys + _EPS)
+        recall = ntp / (nref + _EPS)
+        f = 2 * precision * recall / (precision + recall + _EPS)
         values = {"f_measure": f, "precision": precision, "recall": recall}
         return tuple((s, float(values[s])) for s in self.scores)
 
 
 class SegmentBasedScore(ScoreFunction):
     """Fixed-grid segment activity metrics — sed_eval SegmentBasedMetrics
-    overall error rate: ER = (ΣS + ΣD + ΣI) / ΣNref with per-segment
-    S = min(FN, FP), D = FN − S, I = FP − S (reference score.py:270-280)."""
+    overall error rate and F (reference score.py:270-280 usage)."""
 
     def __init__(
         self,
@@ -242,48 +265,48 @@ class SegmentBasedScore(ScoreFunction):
         self.scores = scores
         self.time_resolution = (params or {}).get("time_resolution", 1.0)
 
-    def _activity(self, events: List[dict], n_seg: int, res_ms: float) -> np.ndarray:
+    def _event_roll(
+        self, events: List[Tuple[str, float, float]], n_seg: int
+    ) -> np.ndarray:
+        """sed_eval util.event_list_to_event_roll: onset = floor(on/res),
+        offset = ceil(off/res); unknown labels raise like list.index."""
         act = np.zeros((n_seg, len(self.label_to_idx)), bool)
-        for e in events:
-            if e["label"] not in self.label_to_idx:
-                continue
-            li = self.label_to_idx[e["label"]]
-            lo = int(np.floor(e["start"] / res_ms))
-            hi = int(np.ceil(e["end"] / res_ms))
+        for label, on, off in events:
+            if label not in self.label_to_idx:
+                raise ValueError(f"event label {label!r} not in label vocabulary")
+            li = self.label_to_idx[label]
+            lo = int(np.floor(on / self.time_resolution))
+            hi = int(np.ceil(off / self.time_resolution))
             act[max(lo, 0) : min(hi, n_seg), li] = True
         return act
 
     def _compute(self, predictions: EventDict, targets: EventDict, **kwargs) -> Ret:
-        res_ms = self.time_resolution * 1000.0
-        tot_s = tot_d = tot_i = tot_ref = tot_tp = tot_fp = tot_fn = 0.0
-        for filename in set(predictions) | set(targets):
-            ests = predictions.get(filename, [])
-            refs = targets.get(filename, [])
-            max_ms = max(
-                [e["end"] for e in ests + refs] + [0.0]
-            )
-            n_seg = max(1, int(np.ceil(max_ms / res_ms)))
-            est_act = self._activity(ests, n_seg, res_ms)
-            ref_act = self._activity(refs, n_seg, res_ms)
-            tp = (est_act & ref_act).sum(1).astype(float)
-            fp = (est_act & ~ref_act).sum(1).astype(float)
-            fn = (~est_act & ref_act).sum(1).astype(float)
-            s = np.minimum(fp, fn)
+        tot_s = tot_d = tot_i = tot_ref = tot_tp = tot_sys = 0.0
+        for filename in predictions:
+            ests = _to_seconds(predictions.get(filename, []))
+            refs = _to_seconds(targets.get(filename, []))
+            # sed_eval: evaluated length = max offset over BOTH lists,
+            # segments = ceil(length / resolution)
+            max_off = max([off for _, _, off in ests + refs] + [0.0])
+            n_seg = int(np.ceil(max_off / self.time_resolution))
+            if n_seg == 0:
+                continue
+            est_act = self._event_roll(ests, n_seg)
+            ref_act = self._event_roll(refs, n_seg)
+            ntp = (est_act & ref_act).sum(1).astype(float)
+            nref = ref_act.sum(1).astype(float)
+            nsys = est_act.sum(1).astype(float)
+            s = np.minimum(nref, nsys) - ntp
             tot_s += s.sum()
-            tot_d += (fn - s).sum()
-            tot_i += (fp - s).sum()
-            tot_ref += ref_act.sum()
-            tot_tp += tp.sum()
-            tot_fp += fp.sum()
-            tot_fn += fn.sum()
-        er = (tot_s + tot_d + tot_i) / tot_ref if tot_ref else 0.0
-        precision = tot_tp / (tot_tp + tot_fp) if tot_tp + tot_fp else 0.0
-        recall = tot_tp / (tot_tp + tot_fn) if tot_tp + tot_fn else 0.0
-        f = (
-            2 * precision * recall / (precision + recall)
-            if precision + recall > 0
-            else 0.0
-        )
+            tot_d += np.maximum(0.0, nref - nsys).sum()
+            tot_i += np.maximum(0.0, nsys - nref).sum()
+            tot_ref += nref.sum()
+            tot_sys += nsys.sum()
+            tot_tp += ntp.sum()
+        er = (tot_s + tot_d + tot_i) / (tot_ref + _EPS)
+        precision = tot_tp / (tot_sys + _EPS)
+        recall = tot_tp / (tot_ref + _EPS)
+        f = 2 * precision * recall / (precision + recall + _EPS)
         values = {
             "error_rate": er,
             "f_measure": f,
