@@ -77,6 +77,28 @@ def main() -> int:
         out_shardings=NamedSharding(mesh, P()),
     )(params, audio)
     assert np.isfinite(float(jax.device_get(rep)))
+
+    # sharded orbax save/restore across BOTH processes (VERDICT r2 #6):
+    # the cross-host-sharded batch round-trips through the repo's own
+    # CheckpointManager; every process must see its exact local shards back
+    if len(sys.argv) > 3:
+        from wavjepa_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(sys.argv[3])
+        assert mgr.save(0, {"audio": audio}, force=True)
+        mgr.wait()
+        restored = mgr.restore({"audio": audio})
+        got = restored["audio"]
+        assert got.sharding.is_equivalent_to(audio.sharding, audio.ndim)
+        for s_ref, s_got in zip(
+            audio.addressable_shards, got.addressable_shards
+        ):
+            np.testing.assert_array_equal(
+                np.asarray(s_got.data), np.asarray(s_ref.data)
+            )
+        mgr.close()
+        print(f"[host {pid}] sharded ckpt roundtrip ok", flush=True)
+
     print(f"[host {pid}] multihost smoke ok", flush=True)
     return 0
 

@@ -22,15 +22,16 @@ def _free_port() -> int:
 
 
 @pytest.mark.timeout(900)
-def test_two_process_distributed_smoke():
+def test_two_process_distributed_smoke(tmp_path):
     coordinator = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["PYTHONPATH"] = f"{REPO}:{env.get('PYTHONPATH', '')}"
+    ckpt_dir = tmp_path / "multihost_ckpt"
     procs = [
         subprocess.Popen(
-            [sys.executable, str(WORKER), coordinator, str(pid)],
+            [sys.executable, str(WORKER), coordinator, str(pid), str(ckpt_dir)],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
@@ -49,4 +50,5 @@ def test_two_process_distributed_smoke():
         pytest.fail(f"multihost workers timed out; partial output: {outs}")
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"host {pid} failed:\n{out}"
+        assert "sharded ckpt roundtrip ok" in out
         assert "multihost smoke ok" in out
