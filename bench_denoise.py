@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Denoise-distillation throughput: clips/sec/chip (VERDICT r2 #2).
+
+Runs the full fused denoise step — on-device scene synthesis (RIR
+fftconvolve + segmental-SNR noise mix at 32 kHz), 32 k→16 k resample of both
+views, 8 shared crops/clip, student(clean)+student(noisy) fwd+bwd + frozen
+teacher forward, AdamW — at the reference denoise config
+(configs/trainer/denoise_audioset.yaml: batch 32 clips/GPU ×
+8 samples_per_audio), on synthetic host batches.
+
+vs_baseline derivation (BASELINE.md): the reference denoise budget is
+100 000 steps × 32 clips/step/GPU within ≤24 h on H100s (denoise.sh) →
+≥37.0 clips/sec/GPU if the walltime is used fully — the same
+walltime-floor method as bench.py's 50.5. Prints ONE JSON line.
+"""
+
+import json
+import math
+import time
+
+BASELINE_CLIPS_PER_SEC_PER_CHIP = 100_000 * 32 / (24 * 3600)  # 37.04
+
+
+def main():
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wavjepa_tpu.models.denoiser import (
+        DenoiserConfig,
+        DenoiserStudent,
+        student_params_from_jepa,
+    )
+    from wavjepa_tpu.models.jepa import JEPA
+    from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch
+    from wavjepa_tpu.train.config import Config
+    from wavjepa_tpu.train.denoise_loop import synthetic_denoise_batches
+    from wavjepa_tpu.train.denoise_step import (
+        DenoiseOptimizerConfig,
+        DenoiseTrainState,
+        make_denoise_optimizer,
+        make_denoise_train_step,
+    )
+    from wavjepa_tpu.utils.flops import denoise_step_flops, mfu
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh(n_chips)
+    # reference denoise per-GPU batch (32 clips × 8 crops); BENCH_CLIPS
+    # overrides clips/chip for memory/utilization experiments
+    batch_clips = int(os.environ.get("BENCH_CLIPS", "32")) * n_chips
+    n_crops = 8
+
+    # denoise has no masking → no packing; build the plain model config
+    train_cfg = Config()
+    train_cfg.trainer.pack_tokens = "off"
+    jcfg = train_cfg.build_model_config()
+    dcfg = DenoiserConfig(jepa=jcfg, alpha=0.0, nr_samples_per_audio=n_crops)
+
+    teacher = JEPA(jcfg)
+    student = DenoiserStudent(jcfg)
+    teacher_params = teacher.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, jcfg.target_length))
+    )["params"]
+    student_params = student_params_from_jepa(teacher_params)
+    tx, sched = make_denoise_optimizer(DenoiseOptimizerConfig())
+    state = DenoiseTrainState.create(student_params, tx)
+    step = make_denoise_train_step(
+        student, teacher, dcfg, tx, sched, with_rir=True, with_noise=True
+    )
+
+    batch = next(
+        synthetic_denoise_batches(
+            batch_clips,
+            scene_len=dcfg.scene_length,
+            rir_len=int(dcfg.original_sr * 2.0),
+        )
+    )
+    batch = {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
+    teacher_params = jax.device_put(teacher_params)
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup; timings closed by a host fetch of the last loss
+    # (block_until_ready does not block through the tunnel — see bench.py)
+    state, metrics = step(state, teacher_params, batch, key)
+    float(metrics["loss"])
+    for _ in range(2):
+        state, metrics = step(state, teacher_params, batch, key)
+    float(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, teacher_params, batch, key)
+    loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert math.isfinite(loss), f"non-finite loss {loss}"
+
+    clips_per_sec = batch_clips * iters / dt
+    value = clips_per_sec / n_chips
+    step_flops = denoise_step_flops(jcfg, n_crops * batch_clips // n_chips)
+    step_seconds = dt / iters
+    print(
+        json.dumps(
+            {
+                "metric": "denoise_clips_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(value / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
+                "step_time_ms": round(1000 * step_seconds, 1),
+                "tflops_per_step": round(step_flops / 1e12, 2),
+                "mfu": round(mfu(step_flops, step_seconds), 4),
+                "clips_per_step_per_chip": batch_clips // n_chips,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

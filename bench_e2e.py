@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""End-to-end FED training throughput (VERDICT r2 #3): tar shards → worker
+processes (decode→resample→normalize) → shuffle → host→device prefetch →
+the REAL fused SSL train step, sustained for ≥2 minutes, ONE JSON line.
+
+The question this answers (the synthetic-fed bench.py cannot): does the
+shards→prefetch_to_device→step chain keep the chip fed at the rate the chip
+can consume (41.15 clips/s/chip, BENCH_r02.json)?
+
+Two ingest configs, because they bound the answer from both sides:
+  * SRC=16k (default): shards store 16 kHz wavs — decode+RMS-normalize only,
+    the cheapest real ingest. This measures the PIPELINE's overhead
+    (queues, shuffle buffer, prefetch, host→device copies).
+  * SRC=44k: shards store 44.1 kHz wavs — adds the native polyphase
+    resample (~21-41 clips/s/core, bench_data.py). On this 1-core dev VM
+    that is host-bound by construction; the JSON reports the measured
+    per-core ingest rate and the cores/chip needed to saturate
+    (reference analog: 16 DataLoader workers/GPU,
+    /root/reference/data_modules/WebAudioDataModule.py:133-142).
+
+Env knobs: SRC=16k|44k, WORKERS=N (default 2), SECONDS=120, BENCH_CLIPS=32.
+"""
+
+import json
+import math
+import os
+import tempfile
+import time
+from pathlib import Path
+
+BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.5
+SYNTH_FED_RATE = 41.15  # BENCH_r02.json — same step, on-device synthetic batch
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from bench_data import build_shards
+    from wavjepa_tpu.data.pipeline import ShardAudioSource, shuffled_batches
+    from wavjepa_tpu.models.jepa import JEPA
+    from wavjepa_tpu.parallel.mesh import make_mesh
+    from wavjepa_tpu.train.config import Config
+    from wavjepa_tpu.train.loop import prefetch_to_device
+    from wavjepa_tpu.train.state import TrainState
+    from wavjepa_tpu.train.step import (
+        OptimizerConfig,
+        make_jepa_train_step,
+        make_optimizer,
+    )
+
+    src = os.environ.get("SRC", "16k")
+    sr = 44100 if src == "44k" else 16000
+    n_workers = int(os.environ.get("WORKERS", "2"))
+    run_seconds = float(os.environ.get("SECONDS", "120"))
+
+    n_chips = len(jax.devices())
+    mesh = make_mesh(n_chips)
+    batch_clips = int(os.environ.get("BENCH_CLIPS", "32")) * n_chips
+    n_crops = 8
+
+    train_cfg = Config()
+    cfg = train_cfg.build_model_config()
+    model = JEPA(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, cfg.target_length))
+    )["params"]
+    tx, sched = make_optimizer(OptimizerConfig())
+    state = TrainState.create(params, tx)
+    step = make_jepa_train_step(model, tx, sched, nr_samples_per_audio=n_crops)
+
+    with tempfile.TemporaryDirectory() as td:
+        # enough unique clips that the stream never rewinds mid-window;
+        # workers repeat shards forever anyway (iter_shard_samples repeat)
+        pattern = build_shards(Path(td), n_shards=8, clips_per_shard=32, sr=sr)
+        source = ShardAudioSource(
+            pattern,
+            target_sr=16000,
+            num_workers=n_workers,
+            queue_size=256,
+            seed=0,
+        ).start()
+        try:
+            # host-only ingest probe first (clips/s at this worker count,
+            # measured cold — informs the cores-needed arithmetic)
+            it = iter(source)
+            for _ in range(8):  # warm the decode path
+                next(it)
+            t0 = time.perf_counter()
+            probe_n = 48
+            for _ in range(probe_n):
+                next(it)
+            host_rate = probe_n / (time.perf_counter() - t0)
+
+            batches = shuffled_batches(it, batch_clips, shuffle_buffer=128)
+            device_iter = prefetch_to_device(batches, mesh)
+            key = jax.random.PRNGKey(1)
+
+            # compile + warmup (closed by host fetch; see bench.py)
+            state, metrics = step(state, next(device_iter), key)
+            float(metrics["loss"])
+            state, metrics = step(state, next(device_iter), key)
+            float(metrics["loss"])
+
+            # sustained fed run: iterate for >= run_seconds wall-clock,
+            # closing the chain with a host fetch every ~10 steps so the
+            # measurement can't run ahead of the device
+            iters = 0
+            t0 = time.perf_counter()
+            while True:
+                state, metrics = step(state, next(device_iter), key)
+                iters += 1
+                if iters % 10 == 0:
+                    float(metrics["loss"])
+                    if time.perf_counter() - t0 >= run_seconds:
+                        break
+            loss = float(metrics["loss"])
+            dt = time.perf_counter() - t0
+        finally:
+            source.stop()
+
+    assert math.isfinite(loss), f"non-finite loss {loss}"
+    clips_per_sec = batch_clips * iters / dt
+    value = clips_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": f"e2e_fed_clips_per_sec_per_chip_{src}",
+                "value": round(value, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(value / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
+                "fed_fraction_of_synthetic": round(value / SYNTH_FED_RATE, 3),
+                "host_ingest_clips_per_sec": round(host_rate, 1),
+                "workers": n_workers,
+                "run_seconds": round(dt, 1),
+                "steps": iters,
+                "cores_per_chip_to_saturate": round(
+                    SYNTH_FED_RATE / max(host_rate / max(n_workers, 1), 1e-9) , 2
+                ) if src == "44k" else 1,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

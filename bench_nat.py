@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""WavJEPA-Nat binaural pretrain throughput: clips/sec/chip (VERDICT r2 #2).
+
+Runs the full fused Nat SSL train step — on-device naturalistic scene
+synthesis (noise + binaural RIR fftconvolve + SNR mix at 32 kHz), 32 k→16 k
+resample, per-channel conv frontend, channel-tiled time-inverse masks,
+binaural positions, student/teacher/EMA/AdamW — at the configs/
+nat_binaural.yaml settings, on synthetic host batches.
+
+vs_baseline uses the same derivation as bench.py (BASELINE.md): the
+reference's SSL walltime floor of 50.5 clips/s per H100 — Nat trains under
+the same 375 k-step/66 h budget (train.sh), just with binaural scenes.
+Prints ONE JSON line.
+"""
+
+import json
+import math
+import time
+
+BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.5
+
+
+def main():
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from wavjepa_tpu.models.jepa import JEPA
+    from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch
+    from wavjepa_tpu.train.config import load_config
+    from wavjepa_tpu.train.denoise_loop import synthetic_denoise_batches
+    from wavjepa_tpu.train.state import TrainState
+    from wavjepa_tpu.train.step import (
+        NatSceneConfig,
+        make_jepa_train_step,
+        make_optimizer,
+    )
+    from wavjepa_tpu.utils.flops import jepa_step_flops, mfu
+
+    cfg = load_config("configs/nat_binaural.yaml")
+    n_chips = len(jax.devices())
+    mesh = make_mesh(n_chips)
+    batch_clips = int(os.environ.get("BENCH_CLIPS", str(cfg.trainer.batch_size)))
+    batch_clips *= n_chips
+    n_crops = cfg.data.samples_per_audio
+
+    model_cfg = cfg.build_model_config()
+    model = JEPA(model_cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.data.in_channels, model_cfg.target_length)),
+    )["params"]
+    tx, sched = make_optimizer(cfg.optimizer)
+    state = TrainState.create(params, tx)
+    masker_fn, masker_cfg = cfg.masker.build()
+    scene_cfg = NatSceneConfig(
+        with_rir=True, with_noise=True, n_channels=cfg.data.in_channels
+    )
+    step = make_jepa_train_step(
+        model,
+        tx,
+        sched,
+        nr_samples_per_audio=n_crops,
+        masker=masker_fn,
+        masker_cfg=masker_cfg,
+        ema_cfg=cfg.ema,
+        scene_cfg=scene_cfg,
+    )
+
+    batch = next(
+        synthetic_denoise_batches(
+            batch_clips,
+            scene_len=int(scene_cfg.original_sr * cfg.data.target_seconds),
+            rir_len=int(scene_cfg.original_sr * 2.0),
+            n_channels=cfg.data.in_channels,
+        )
+    )
+    batch = {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
+    key = jax.random.PRNGKey(1)
+
+    # compile + warmup; timings closed by a host fetch of the last loss
+    # (block_until_ready does not block through the tunnel — see bench.py)
+    state, metrics = step(state, batch, key)
+    float(metrics["loss"])
+    for _ in range(2):
+        state, metrics = step(state, batch, key)
+    float(metrics["loss"])
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, batch, key)
+    loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert math.isfinite(loss), f"non-finite loss {loss}"
+
+    clips_per_sec = batch_clips * iters / dt
+    value = clips_per_sec / n_chips
+    step_flops = jepa_step_flops(model_cfg, n_crops * batch_clips // n_chips)
+    step_seconds = dt / iters
+    print(
+        json.dumps(
+            {
+                "metric": "nat_pretrain_clips_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "clips/s/chip",
+                "vs_baseline": round(value / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
+                "step_time_ms": round(1000 * step_seconds, 1),
+                "tflops_per_step": round(step_flops / 1e12, 2),
+                "mfu": round(mfu(step_flops, step_seconds), 4),
+                "clips_per_step_per_chip": batch_clips // n_chips,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -80,5 +80,25 @@ def jepa_step_flops(cfg, n_crops: int, n_targets: int = 4) -> int:
     return n_crops * (3 * f["student"] + f["teacher"])
 
 
+def denoise_step_flops(cfg, n_crops: int) -> int:
+    """Useful FLOPs of one denoise-distillation step at ``n_crops`` total
+    crops (clips × samples_per_audio): the student is the JEPA encoder path
+    at FULL length (no masking → no packing), run fwd+bwd on BOTH the clean
+    and noisy views, plus one frozen-teacher forward on the clean view
+    (train/denoise_step.py). Scene FFTs / resampling are elementwise-ish and
+    excluded by the matmul-only convention."""
+    t = cfg.total_patches
+    if getattr(cfg, "extractor", "conv") == "conv_channel":
+        conv = cfg.in_channels * conv_frontend_flops(cfg.conv_spec, cfg.target_length, 1)
+    else:
+        conv = conv_frontend_flops(cfg.conv_spec, cfg.target_length, cfg.in_channels)
+    mapper = 2 * t * cfg.embedding_dim * cfg.encoder_dim
+    enc = cfg.encoder_layers * transformer_layer_flops(
+        t, cfg.encoder_dim, int(cfg.encoder_dim * cfg.mlp_ratio)
+    )
+    fwd = conv + mapper + enc
+    return n_crops * (2 * 3 * fwd + fwd)  # 2 views fwd+bwd + teacher fwd
+
+
 def mfu(flops_per_step: int, step_seconds: float, peak: float = V5E_PEAK_FLOPS) -> float:
     return flops_per_step / step_seconds / peak
