@@ -103,13 +103,40 @@ def key_padding_bias(
     return jnp.where(key_padding_mask[:, None, None, :], neg, jnp.zeros((), dtype))
 
 
+class _DenseParams(nn.Module):
+    """Declares kernel/bias with nn.Dense's exact param tree (name, shapes,
+    default initializers) WITHOUT computing x @ kernel — the fused-block
+    kernel consumes the raw weights (per-head relayout) instead of the Dense
+    forward, but checkpoints must stay interchangeable with the einsum path."""
+
+    features_in: int
+    features_out: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features_out,), self.param_dtype
+        )
+        return kernel, bias
+
+
 class MultiHeadSelfAttention(nn.Module):
     """Packed-QKV multi-head self-attention matching torch MHA numerics.
 
     attn_impl:
       * "einsum" — two einsums + f32 softmax (XLA fuses; used on CPU)
-      * "pallas" — fused VMEM-resident kernel with recompute-in-backward
-        (ops/flash_attention.py); requires a TPU backend
+      * "pallas" — fused VMEM-resident attention core with
+        recompute-in-backward (ops/flash_attention.py); requires TPU
+      * "fused_block" — ONE Pallas kernel for QKV proj → attention → out
+        proj (ops/fused_attention_block.py), deleting the head-layout
+        copies and inter-fusion HBM traffic; interpret-mode on CPU
     """
 
     embed_dim: int
@@ -128,6 +155,29 @@ class MultiHeadSelfAttention(nn.Module):
     ) -> jax.Array:
         d, h = self.embed_dim, self.num_heads
         head_dim = d // h
+        if self.attn_impl == "fused_block":
+            from wavjepa_tpu.ops.fused_attention_block import (
+                fused_attention_block,
+                pack_weights,
+            )
+
+            assert self.use_bias, "fused_block assumes biased projections"
+            ipk, ipb = _DenseParams(d, 3 * d, self.param_dtype, name="in_proj")()
+            opk, opb = _DenseParams(d, d, self.param_dtype, name="out_proj")()
+            wqkv, bqkv, wo = pack_weights(
+                ipk.astype(self.dtype), ipb.astype(self.dtype),
+                opk.astype(self.dtype), h,
+            )
+            mask = (
+                key_padding_mask
+                if key_padding_mask is not None
+                else jnp.zeros((x.shape[0], x.shape[1]), bool)
+            )
+            return fused_attention_block(
+                x.astype(self.dtype), wqkv, bqkv, wo,
+                opb[None].astype(self.dtype), mask,
+                jax.default_backend() != "tpu",  # interpret off-TPU
+            )
         qkv = nn.Dense(
             3 * d,
             use_bias=self.use_bias,
@@ -312,7 +362,7 @@ class TransformerEncoder(nn.Module):
     ) -> jax.Array:
         bias = (
             key_padding_bias(key_padding_mask, dtype=jnp.float32)
-            if key_padding_mask is not None and self.attn_impl not in ("pallas", "sdpa")
+            if key_padding_mask is not None and self.attn_impl not in ("pallas", "sdpa", "fused_block")
             else None
         )
         for layer in self.layers:
@@ -327,7 +377,7 @@ class TransformerEncoder(nn.Module):
         """All per-layer outputs (no final norm), for teacher target making."""
         bias = (
             key_padding_bias(key_padding_mask, dtype=jnp.float32)
-            if key_padding_mask is not None and self.attn_impl not in ("pallas", "sdpa")
+            if key_padding_mask is not None and self.attn_impl not in ("pallas", "sdpa", "fused_block")
             else None
         )
         outs = []
