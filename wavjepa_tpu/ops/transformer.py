@@ -176,7 +176,9 @@ class MultiHeadSelfAttention(nn.Module):
             return fused_attention_block(
                 x.astype(self.dtype), wqkv, bqkv, wo,
                 opb[None].astype(self.dtype), mask,
-                jax.default_backend() != "tpu",  # interpret off-TPU
+                # interpret on CPU hosts only; the tunneled TPU backend
+                # reports platform "axon", which compiles Pallas natively
+                jax.default_backend() == "cpu",
             )
         qkv = nn.Dense(
             3 * d,
