@@ -103,6 +103,54 @@ def test_fully_masked_row_stays_finite():
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_jepa_attn_impl_decoder_override_parity():
+    """JEPAConfig.attn_impl_decoder='fused_block' (decoder-only override,
+    the measured-useful deployment: 1.50x fwd at the packed decoder shape)
+    must reproduce the all-einsum student_forward on identical params."""
+    import dataclasses
+
+    from wavjepa_tpu.masking import TimeInverseMaskConfig, time_inverse_block_masks
+    from wavjepa_tpu.models.jepa import JEPA, JEPAConfig
+
+    base = JEPAConfig(
+        conv_spec=((32, 10, 5), (32, 3, 2), (32, 2, 2)),
+        encoder_layers=2,
+        encoder_dim=64,
+        encoder_heads=4,
+        decoder_layers=2,
+        decoder_dim=32,
+        decoder_heads=4,
+        sample_rate=16000,
+        process_seconds=0.201,
+        average_top_k_layers=2,
+        remat=False,
+        attn_impl="einsum",
+    )
+    ref_model = JEPA(base)
+    fused_model = JEPA(dataclasses.replace(base, attn_impl_decoder="fused_block"))
+    params = ref_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, base.target_length)))[
+        "params"
+    ]
+    rng = np.random.default_rng(7)
+    audio = jnp.asarray(
+        rng.normal(size=(2, 1, base.target_length)).astype(np.float32)
+    )
+    ctx, tgt, vis = time_inverse_block_masks(
+        jax.random.PRNGKey(1),
+        batch_size=2,
+        n_times=base.total_patches,
+        cfg=TimeInverseMaskConfig(),
+    )
+    feats = ref_model.apply({"params": params}, audio, method="encode_features")
+    ref = ref_model.apply({"params": params}, feats, ctx, vis, method="student_forward")
+    got = fused_model.apply(
+        {"params": params}, feats, ctx, vis, method="student_forward"
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_transformer_encoder_fused_block_parity():
     """Full TransformerEncoder: attn_impl='fused_block' must match the
     einsum path on identical params (CPU interpret mode auto-selected)."""

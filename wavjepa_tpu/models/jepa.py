@@ -128,8 +128,14 @@ class JEPAConfig:
     # the base config at batch 256, vs 16 GB HBM on v5e. Recompute-in-backward
     # trades ~30% extra forward FLOPs for fitting the reference batch size.
     remat: bool = True
-    # "auto" | "einsum" | "pallas" — fused VMEM attention kernel on TPU
+    # "auto" | "einsum" | "pallas" | "fused_block" — see ops/transformer.py
     attn_impl: str = "auto"
+    # decoder-stack override (None → follow attn_impl). Measured v5e r3: the
+    # projection-fused Pallas block is 1.50x einsum at the packed decoder
+    # shape (B1024, T128, d384, h12 — the small-matmul pathology), but 0.62x
+    # at the encoder shape (d768) where XLA's batched dot already tiles
+    # well, so the win is decoder-only (PERF.md round 3).
+    attn_impl_decoder: Optional[str] = None
 
     def __post_init__(self):
         if self.size == "large":
@@ -238,7 +244,11 @@ class JEPA(nn.Module):
             dtype=cfg.dtype,
             remat=remat_dec,
             remat_save_probs=cfg.remat_save_probs,
-            attn_impl=resolve_attn_impl(cfg.attn_impl),
+            attn_impl=resolve_attn_impl(
+                cfg.attn_impl
+                if cfg.attn_impl_decoder is None
+                else cfg.attn_impl_decoder
+            ),
             name="decoder",
         )
         self.encoder_to_decoder_mapper = nn.Dense(
@@ -414,14 +424,20 @@ class JEPA(nn.Module):
         ctx_and_target_mask: jax.Array,
         targets: jax.Array,
         target_masks: jax.Array,
-    ) -> jax.Array:
+        return_terms: bool = False,
+    ):
         """Masked MSE computed in packed space: instead of scattering
         predictions back to the full (B, N, T, D) grid and reading it with a
         full-grid mask (masked_prediction_loss), gather the teacher targets
         into the packed layout. Same result — targets are always packed
         (targets-first order) and non-target packed positions get zero
         weight; the normalizer uses the full target count like the
-        reference (jepa.py:335-362)."""
+        reference (jepa.py:335-362).
+
+        With ``return_terms`` the unreduced ``(numerator, denominator)``
+        pair is returned instead of their ratio — the gradient-accumulation
+        path (train/step.py) sums terms across microbatches so the global
+        normalizer matches the reference's whole-batch mean exactly."""
         preds_p, order_d, valid_d = self._packed_predictions(
             local_features, ctx_mask, ctx_and_target_mask
         )
@@ -439,8 +455,10 @@ class JEPA(nn.Module):
         )
         per = jnp.mean(jnp.square(diff), axis=-1)  # (B, N, Pd)
         num = jnp.sum(per * w_p.astype(jnp.float32))
-        den = jnp.sum(target_masks.astype(jnp.float32)) + 1e-8
-        return num / den
+        den = jnp.sum(target_masks.astype(jnp.float32))
+        if return_terms:
+            return num, den
+        return num / (den + 1e-8)
 
     # ---------------------------------------------------------------- teacher
 
@@ -502,17 +520,26 @@ class JEPA(nn.Module):
 
 
 def masked_prediction_loss(
-    preds: jax.Array, targets: jax.Array, target_indices: jax.Array
-) -> jax.Array:
+    preds: jax.Array,
+    targets: jax.Array,
+    target_indices: jax.Array,
+    return_terms: bool = False,
+):
     """Mean-squared error over target positions only.
 
     preds: (B, N, T, D); targets: (B, T, D); target_indices: (B, N, T) bool.
     Matches reference masked_loss (jepa.py:335-362): per-timestep MSE mean
     over D, weighted by the target mask, normalized by the mask count.
-    Computed in f32 regardless of activation dtype.
+    Computed in f32 regardless of activation dtype. ``return_terms``
+    returns the unreduced (numerator, denominator) for exact cross-
+    microbatch accumulation (train/step.py).
     """
     preds = preds.astype(jnp.float32)
     targets = targets.astype(jnp.float32)[:, None]  # (B, 1, T, D)
     per_t = jnp.mean(jnp.square(preds - targets), axis=-1)  # (B, N, T)
     w = target_indices.astype(jnp.float32)
-    return jnp.sum(per_t * w) / (jnp.sum(w) + 1e-8)
+    num = jnp.sum(per_t * w)
+    den = jnp.sum(w)
+    if return_terms:
+        return num, den
+    return num / (den + 1e-8)

@@ -141,6 +141,18 @@ class TrainerConfig:
     # "exact" keeps the hard upper bound (no drops ever); "off" disables.
     # Speech-masker runs get no packing (its context is ~90% of tokens).
     pack_tokens: str = "auto"
+    # >1 splits each step's crop batch into sequential microbatches inside
+    # one jitted program (exact: global loss normalizer preserved — see
+    # train/step.py). Lets remat_decoder=false fit the 256-crop batch by
+    # holding only one microbatch's activations.
+    accum_steps: int = 1
+    # attention lowering: "auto" | "einsum" | "pallas" | "fused_block"
+    # (ops/transformer.py). Training default einsum — measured fastest
+    # fwd+bwd at every bench shape (PERF.md round 3).
+    attn_impl: str = "auto"
+    # decoder-stack override (None = follow attn_impl). fused_block here is
+    # 1.50x fwd at the packed decoder shape but slower in training.
+    attn_impl_decoder: Optional[str] = None
     ckpt_every: int = 25_000
     keep_ckpts: int = 0  # 0 = keep all (reference save_top_k=-1)
     log_every: int = 50
@@ -288,6 +300,8 @@ class Config:
             remat_encoder=remat_enc,
             remat_decoder=tr.remat_decoder,
             remat_save_probs=tr.remat_save_probs,
+            attn_impl=tr.attn_impl,
+            attn_impl_decoder=tr.attn_impl_decoder,
         )
         return cfg
 
