@@ -114,6 +114,70 @@ class TestTrainStep:
         assert 0.998 < float(m["ema_decay"]) < 1.0
 
 
+class TestGradAccumulation:
+    """accum_steps microbatching must be exact: same masks (full-batch key),
+    loss = Σnum/Σden identical to the single pass, same optimizer update."""
+
+    @pytest.mark.parametrize("packed", [False, True])
+    def test_accum_matches_single_pass(self, packed):
+        import dataclasses
+
+        cfg = TINY
+        if packed:
+            cfg = dataclasses.replace(TINY, pack_encoder=16, pack_decoder=16)
+        model = JEPA(cfg)
+        audio = jnp.asarray(
+            np.random.default_rng(3).normal(size=(2, 1, 3200)), jnp.float32
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, cfg.target_length))
+        )["params"]
+        tx, sched = make_optimizer(
+            OptimizerConfig(lr=1e-3, warmup_steps=1, total_steps=100)
+        )
+
+        def run(accum):
+            state = TrainState.create(params, tx)
+            step = make_jepa_train_step(
+                model, tx, sched,
+                nr_samples_per_audio=4,
+                masker_cfg=TINY_MASK,
+                donate=False,
+                accum_steps=accum,
+            )
+            rng = jax.random.PRNGKey(7)
+            for _ in range(2):
+                state, metrics = step(state, audio, rng)
+            return state, metrics
+
+        s1, m1 = run(1)
+        s2, m2 = run(2)
+        np.testing.assert_allclose(
+            float(m2["loss"]), float(m1["loss"]), rtol=1e-5
+        )
+        flat1 = jax.tree.leaves(s1.params)
+        flat2 = jax.tree.leaves(s2.params)
+        for a, b in zip(flat1, flat2):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+            )
+
+    def test_accum_rejects_indivisible(self):
+        model = JEPA(TINY)
+        audio = jnp.zeros((1, 1, 3200), jnp.float32)
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, TINY.target_length))
+        )["params"]
+        tx, sched = make_optimizer(OptimizerConfig())
+        state = TrainState.create(params, tx)
+        step = make_jepa_train_step(
+            model, tx, sched, nr_samples_per_audio=3,
+            masker_cfg=TINY_MASK, donate=False, accum_steps=2,
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            step(state, audio, jax.random.PRNGKey(0))
+
+
 class TestDataParallel:
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
     def test_8_device_mesh(self):

@@ -100,8 +100,14 @@ def jepa_loss_fn(
     ctx_mask: jax.Array,
     target_masks: jax.Array,
     visible_masks: jax.Array,
-) -> jax.Array:
-    """Student prediction loss against stop-gradient EMA-teacher targets."""
+    return_terms: bool = False,
+):
+    """Student prediction loss against stop-gradient EMA-teacher targets.
+
+    ``return_terms`` yields the unreduced (numerator, denominator) pair so
+    gradient accumulation can reproduce the reference's whole-batch
+    normalizer exactly (loss = Σnum_i / Σden_i; den is param-independent,
+    so grads = Σ∇num_i / Σden_i)."""
     feats = model.apply({"params": params}, crops, method="encode_features")
     teacher_params = dict(params)
     teacher_params["encoder"] = teacher_encoder
@@ -122,11 +128,12 @@ def jepa_loss_fn(
             targets,
             target_masks,
             method="packed_prediction_loss",
+            return_terms=return_terms,
         )
     preds = model.apply(
         {"params": params}, feats, ctx_mask, visible_masks, method="student_forward"
     )
-    return masked_prediction_loss(preds, targets, target_masks)
+    return masked_prediction_loss(preds, targets, target_masks, return_terms)
 
 
 def make_jepa_train_step(
@@ -140,6 +147,7 @@ def make_jepa_train_step(
     scene_cfg: Optional[NatSceneConfig] = None,
     donate: bool = True,
     return_grads: bool = False,
+    accum_steps: int = 1,
 ):
     """Build the jitted train step.
 
@@ -150,6 +158,15 @@ def make_jepa_train_step(
     the denoise step's (audio/source_rir/noise/noise_rirs/... at
     ``scene_cfg.original_sr``) and multi-channel scenes are synthesized
     on device before cropping.
+
+    ``accum_steps > 1`` splits the crop batch into that many sequential
+    microbatches inside the SAME jitted program (lax.scan), accumulating
+    loss-numerator gradients and dividing by the global target count at the
+    end — mathematically identical to the single-pass step (the reference's
+    whole-batch mean normalizer, jepa.py:335-362) while only ever holding
+    one microbatch's activations, which lets decoder remat turn off at the
+    full 256-crop bench batch (the backward's decoder replay is the largest
+    non-floor term in PERF.md's round-3 accounting).
     """
     cfg = model.config
     masker = masker or time_inverse_block_masks
@@ -217,10 +234,48 @@ def make_jepa_train_step(
             visible_masks = jnp.logical_xor(ctx_mask[:, None, :], target_masks)
 
         # --- loss, grads, update ---
-        loss, grads = jax.value_and_grad(jepa_loss_fn, argnums=1)(
-            model, state.params, state.teacher_encoder,
-            crops, ctx_mask, target_masks, visible_masks,
-        )
+        if accum_steps > 1:
+            n_rows = crops.shape[0]
+            if n_rows % accum_steps:
+                raise ValueError(
+                    f"crop batch {n_rows} not divisible by accum_steps={accum_steps}"
+                )
+            mb = n_rows // accum_steps
+
+            def split(x):
+                return x.reshape((accum_steps, mb) + x.shape[1:])
+
+            micro = jax.tree.map(
+                split, (crops, ctx_mask, target_masks, visible_masks)
+            )
+
+            def num_fn(params, mcrops, mctx, mtgt, mvis):
+                num, den = jepa_loss_fn(
+                    model, params, state.teacher_encoder,
+                    mcrops, mctx, mtgt, mvis, return_terms=True,
+                )
+                return num, den
+
+            grad_fn = jax.value_and_grad(num_fn, has_aux=True)
+
+            def body(carry, xs):
+                g_acc, num_acc, den_acc = carry
+                (num, den), g = grad_fn(state.params, *xs)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, num_acc + num, den_acc + den), None
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (g_sum, num_sum, den_sum), _ = jax.lax.scan(
+                body, (zeros, jnp.float32(0), jnp.float32(0)), micro
+            )
+            inv = 1.0 / (den_sum + 1e-8)
+            grads = jax.tree.map(lambda g: g * inv, g_sum)
+            loss = num_sum * inv
+        else:
+            loss, grads = jax.value_and_grad(jepa_loss_fn, argnums=1)(
+                model, state.params, state.teacher_encoder,
+                crops, ctx_mask, target_masks, visible_masks,
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
