@@ -55,6 +55,8 @@ def main():
     from wavjepa_tpu.train.config import Config
 
     train_cfg = Config()
+    # keep the auto accum/remat resolution aligned with the actual bench batch
+    train_cfg.trainer.batch_size = batch_clips // n_chips
     if os.environ.get("PACK", "1") == "0":
         train_cfg.trainer.pack_tokens = "off"
     cfg = train_cfg.build_model_config()
@@ -64,7 +66,11 @@ def main():
     )["params"]
     tx, sched = make_optimizer(OptimizerConfig())
     state = TrainState.create(params, tx)
-    step = make_jepa_train_step(model, tx, sched, nr_samples_per_audio=n_crops)
+    # ACCUM overrides the auto-resolved microbatch count for A/B runs
+    accum = int(os.environ.get("ACCUM", str(train_cfg.resolved_accum_steps())))
+    step = make_jepa_train_step(
+        model, tx, sched, nr_samples_per_audio=n_crops, accum_steps=accum
+    )
 
     rng = np.random.default_rng(0)
     audio = rng.standard_normal((batch_clips, 1, 160000)).astype(np.float32)

@@ -52,9 +52,14 @@ def main():
     batch_clips = int(os.environ.get("BENCH_CLIPS", "32")) * n_chips
     n_crops = 8
 
-    # denoise has no masking → no packing; build the plain model config
+    # denoise has no masking → no packing; build the plain model config.
+    # ACCUM microbatches the step (train/denoise_step.py); REMAT=0 turns
+    # all remat off (microbatching shrinks the held activations instead)
+    accum = int(os.environ.get("ACCUM", "1"))
     train_cfg = Config()
     train_cfg.trainer.pack_tokens = "off"
+    if os.environ.get("REMAT", "1") == "0":
+        train_cfg.trainer.remat = False
     jcfg = train_cfg.build_model_config()
     dcfg = DenoiserConfig(jepa=jcfg, alpha=0.0, nr_samples_per_audio=n_crops)
 
@@ -67,7 +72,8 @@ def main():
     tx, sched = make_denoise_optimizer(DenoiseOptimizerConfig())
     state = DenoiseTrainState.create(student_params, tx)
     step = make_denoise_train_step(
-        student, teacher, dcfg, tx, sched, with_rir=True, with_noise=True
+        student, teacher, dcfg, tx, sched, with_rir=True, with_noise=True,
+        accum_steps=accum,
     )
 
     batch = next(

@@ -100,6 +100,51 @@ def test_denoise_step_runs_and_learns():
     assert float(metrics["loss_clean"]) < float(metrics["loss_denoise_dereverb"]) + 1.0
 
 
+def test_denoise_accum_matches_single_pass():
+    """accum_steps microbatching is exact for the denoiser's uniform-count
+    MSE: same loss and same updated params as the single-pass step."""
+    dcfg = _dcfg()
+    teacher = JEPA(TINY)
+    student = DenoiserStudent(TINY)
+    audio0 = jnp.zeros((1, 1, TINY.target_length))
+    tparams = teacher.init(jax.random.PRNGKey(0), audio0)["params"]
+    sparams = student_params_from_jepa(tparams)
+    tx, sched = make_denoise_optimizer(
+        DenoiseOptimizerConfig(lr=1e-3, warmup_steps=1, total_steps=50)
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in next(
+            iter(
+                synthetic_denoise_batches(
+                    2, scene_len=dcfg.scene_length, rir_len=320, seed=4
+                )
+            )
+        ).items()
+    }
+
+    def run(accum):
+        state = DenoiseTrainState.create(jax.tree.map(jnp.copy, sparams), tx)
+        step = make_denoise_train_step(
+            student, teacher, dcfg, tx, sched,
+            with_rir=True, with_noise=True, donate=False, accum_steps=accum,
+        )
+        for _ in range(2):
+            state, metrics = step(state, tparams, batch, jax.random.PRNGKey(5))
+        return state, metrics
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(
+        float(m2["loss_clean"]), float(m1["loss_clean"]), rtol=1e-5, atol=1e-7
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
+        )
+
+
 def test_denoise_step_noise_only_and_rir_only():
     dcfg = _dcfg()
     teacher = JEPA(TINY)

@@ -81,6 +81,26 @@ def test_explicit_keys_tracks_yaml_and_cli(tmp_path):
     assert "explicit_keys" not in config_to_dict(cfg)
 
 
+def test_accum_auto_resolution():
+    """accum_steps=0 (auto) engages microbatching + decoder-remat-off only
+    at the reference-scale crop batch; explicit values pass through and an
+    explicit remat_decoder survives."""
+    cfg = load_config(None)  # 32 clips x 8 crops = 256
+    assert cfg.resolved_accum_steps() > 1
+    assert cfg.build_model_config().remat_decoder is False
+
+    small = apply_overrides(load_config(None), ["trainer.batch_size=2"])
+    assert small.resolved_accum_steps() == 1
+    # None remat_decoder then follows the global remat default (True)
+    assert small.build_model_config().remat_decoder is None
+
+    explicit = apply_overrides(
+        load_config(None), ["trainer.accum_steps=2", "trainer.remat_decoder=true"]
+    )
+    assert explicit.resolved_accum_steps() == 2
+    assert explicit.build_model_config().remat_decoder is True
+
+
 def test_optional_coercion_dispatches_on_declared_type():
     """ADVICE r2: '=1'/'=0' on an Optional[bool] field becomes a bool, while
     'null' clears it — dispatch is on the DECLARED type, not the current

@@ -144,8 +144,13 @@ class TrainerConfig:
     # >1 splits each step's crop batch into sequential microbatches inside
     # one jitted program (exact: global loss normalizer preserved — see
     # train/step.py). Lets remat_decoder=false fit the 256-crop batch by
-    # holding only one microbatch's activations.
-    accum_steps: int = 1
+    # holding only one microbatch's activations. 0 = auto: at the reference
+    # batch (>=256 crops) pick the largest of 16/8/4/2 dividing the crop
+    # count and disable decoder remat — measured v5e r3 at 256 crops
+    # (ms/step): accum 1+remat 778, 2→640, 4→544, 8→532, 16→500 (64.0
+    # clips/s/chip), 32→590 (8-crop microbatches underfill the MXU);
+    # smaller batches keep the single-pass step.
+    accum_steps: int = 0
     # attention lowering: "auto" | "einsum" | "pallas" | "fused_block"
     # (ops/transformer.py). Training default einsum — measured fastest
     # fwd+bwd at every bench shape (PERF.md round 3).
@@ -279,6 +284,21 @@ class Config:
             pd = snap
         return pe * c, pd * c
 
+    def resolved_accum_steps(self) -> int:
+        """Gradient-accumulation microbatch count (trainer.accum_steps with
+        0 = auto). Auto engages only at the reference-scale crop batch
+        (>=256 = trainer.batch_size * data.samples_per_audio) where the
+        measured win exists, picking the largest of 8/4/2 that divides it."""
+        a = self.trainer.accum_steps
+        if a != 0:
+            return a
+        crops = self.trainer.batch_size * self.data.samples_per_audio
+        if crops >= 256:
+            for cand in (16, 8, 4, 2):
+                if crops % cand == 0:
+                    return cand
+        return 1
+
     def build_model_config(self):
         """Assemble the JEPAConfig for this run."""
         import dataclasses as _dc
@@ -290,15 +310,20 @@ class Config:
         tr = self.trainer
         remat_conv = tr.remat_conv
         remat_enc = tr.remat_encoder
+        remat_dec = tr.remat_decoder
         if pe is not None and tr.remat:
             # packing freed the HBM these replays were trading for
             remat_conv = False if remat_conv is None else remat_conv
             remat_enc = False if remat_enc is None else remat_enc
+        if self.resolved_accum_steps() > 1 and remat_dec is None:
+            # microbatching holds one microbatch's activations: skip the
+            # decoder's backward replay too (532 vs 778 ms at 256 crops)
+            remat_dec = False
         cfg = _dc.replace(
             cfg,
             remat_conv=remat_conv,
             remat_encoder=remat_enc,
-            remat_decoder=tr.remat_decoder,
+            remat_decoder=remat_dec,
             remat_save_probs=tr.remat_save_probs,
             attn_impl=tr.attn_impl,
             attn_impl_decoder=tr.attn_impl_decoder,

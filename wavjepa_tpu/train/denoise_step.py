@@ -88,8 +88,14 @@ def make_denoise_train_step(
     with_rir: bool,
     with_noise: bool,
     donate: bool = True,
+    accum_steps: int = 1,
 ):
     """Build the jitted denoise step.
+
+    ``accum_steps > 1`` microbatches the crop batch inside one jitted
+    program (lax.scan), averaging equal-size microbatch losses/gradients —
+    exact for this uniform-count MSE (same convention as train/step.py's
+    JEPA accumulation; lets remat trade away its backward replays).
 
     Returns ``step(state, teacher_params, batch, rng) -> (state, metrics)``
     where ``batch`` is a dict of host-assembled arrays:
@@ -144,16 +150,52 @@ def make_denoise_train_step(
 
         # --- frozen teacher targets: full JEPA representation of the clean
         # view (final-normed encoder output, denoiser.py:352-356) ---
-        targets = teacher.apply(
-            {"params": teacher_params}, crops_clean, method="represent"
-        )
+        def loss_fn(params, clean_mb, noisy_mb):
+            targets = teacher.apply(
+                {"params": teacher_params}, clean_mb, method="represent"
+            )
+            out_clean = student.apply({"params": params}, clean_mb)
+            out_noisy = student.apply({"params": params}, noisy_mb)
+            return denoiser_distillation_loss(
+                out_clean, out_noisy, targets, cfg.alpha
+            )
 
-        def loss_fn(params):
-            out_clean = student.apply({"params": params}, crops_clean)
-            out_noisy = student.apply({"params": params}, crops_noisy)
-            return denoiser_distillation_loss(out_clean, out_noisy, targets, cfg.alpha)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        if accum_steps > 1:
+            n_rows = crops_noisy.shape[0]
+            if n_rows % accum_steps:
+                raise ValueError(
+                    f"crop batch {n_rows} not divisible by accum_steps={accum_steps}"
+                )
+            mb = n_rows // accum_steps
 
-        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            def split(x):
+                return x.reshape((accum_steps, mb) + x.shape[1:])
+
+            micro = (split(crops_clean), split(crops_noisy))
+
+            def body(carry, xs):
+                g_acc, l_acc, p_acc = carry
+                (l, parts), g = grad_fn(state.params, *xs)
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                p_acc = {k: p_acc[k] + parts[k] for k in p_acc}
+                return (g_acc, l_acc + l, p_acc), None
+
+            init = (
+                jax.tree.map(jnp.zeros_like, state.params),
+                jnp.float32(0),
+                {
+                    "loss_clean": jnp.float32(0),
+                    "loss_denoise_dereverb": jnp.float32(0),
+                },
+            )
+            (g_sum, l_sum, p_sum), _ = jax.lax.scan(body, init, micro)
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, g_sum)
+            loss = l_sum * inv
+            parts = {k: v * inv for k, v in p_sum.items()}
+        else:
+            (loss, parts), grads = grad_fn(state.params, crops_clean, crops_noisy)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

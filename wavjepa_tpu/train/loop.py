@@ -115,7 +115,7 @@ def train_jepa(
         masker_cfg=masker_cfg,
         ema_cfg=cfg.ema,
         scene_cfg=scene_cfg,
-        accum_steps=cfg.trainer.accum_steps,
+        accum_steps=cfg.resolved_accum_steps(),
     )
 
     init_audio = jnp.zeros((1, cfg.data.in_channels, model_cfg.target_length))
