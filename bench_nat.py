@@ -46,6 +46,9 @@ def main():
     batch_clips *= n_chips
     n_crops = cfg.data.samples_per_audio
 
+    # keep the auto accum/remat resolution aligned with the actual bench
+    # batch (must happen before build_model_config resolves remat_decoder)
+    cfg.trainer.batch_size = batch_clips // n_chips
     model_cfg = cfg.build_model_config()
     model = JEPA(model_cfg)
     params = model.init(
@@ -58,6 +61,8 @@ def main():
     scene_cfg = NatSceneConfig(
         with_rir=True, with_noise=True, n_channels=cfg.data.in_channels
     )
+    # ACCUM overrides the auto-resolved microbatch count for A/B runs
+    accum = int(os.environ.get("ACCUM", str(cfg.resolved_accum_steps())))
     step = make_jepa_train_step(
         model,
         tx,
@@ -67,6 +72,7 @@ def main():
         masker_cfg=masker_cfg,
         ema_cfg=cfg.ema,
         scene_cfg=scene_cfg,
+        accum_steps=accum,
     )
 
     batch = next(

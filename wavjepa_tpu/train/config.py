@@ -293,7 +293,9 @@ class Config:
         if a != 0:
             return a
         crops = self.trainer.batch_size * self.data.samples_per_audio
-        if crops >= 256:
+        # channel-wise (Nat) crops carry in_channels× the tokens, so weigh
+        # them accordingly when judging "reference scale"
+        if crops * self.data.in_channels >= 256:
             for cand in (16, 8, 4, 2):
                 if crops % cand == 0:
                     return cand
