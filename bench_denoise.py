@@ -61,7 +61,13 @@ def main():
     if os.environ.get("REMAT", "1") == "0":
         train_cfg.trainer.remat = False
     jcfg = train_cfg.build_model_config()
-    dcfg = DenoiserConfig(jepa=jcfg, alpha=0.0, nr_samples_per_audio=n_crops)
+    # LOG_CLEAN=0 skips the diagnostics-only clean student forward (exact
+    # training dynamics; loss_clean not logged — models/denoiser.py)
+    log_clean = os.environ.get("LOG_CLEAN", "1") != "0"
+    dcfg = DenoiserConfig(
+        jepa=jcfg, alpha=0.0, nr_samples_per_audio=n_crops,
+        log_clean_loss=log_clean,
+    )
 
     teacher = JEPA(jcfg)
     student = DenoiserStudent(jcfg)
@@ -105,7 +111,10 @@ def main():
 
     clips_per_sec = batch_clips * iters / dt
     value = clips_per_sec / n_chips
-    step_flops = denoise_step_flops(jcfg, n_crops * batch_clips // n_chips)
+    step_flops = denoise_step_flops(
+        jcfg, n_crops * batch_clips // n_chips, alpha=dcfg.alpha,
+        clean_forward=log_clean,
+    )
     step_seconds = dt / iters
     print(
         json.dumps(

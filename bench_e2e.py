@@ -29,7 +29,7 @@ import time
 from pathlib import Path
 
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.5
-SYNTH_FED_RATE = 41.15  # BENCH_r02.json — same step, on-device synthetic batch
+SYNTH_FED_RATE = 64.01  # BENCH r3 (PERF.md) — same step, on-device synthetic batch
 
 
 def main():
@@ -61,6 +61,9 @@ def main():
     n_crops = 8
 
     train_cfg = Config()
+    # keep the auto accum/remat resolution aligned with the fed batch so the
+    # step here is EXACTLY the one bench.py times (accum-16 at 256 crops)
+    train_cfg.trainer.batch_size = batch_clips // n_chips
     cfg = train_cfg.build_model_config()
     model = JEPA(cfg)
     params = model.init(
@@ -68,7 +71,10 @@ def main():
     )["params"]
     tx, sched = make_optimizer(OptimizerConfig())
     state = TrainState.create(params, tx)
-    step = make_jepa_train_step(model, tx, sched, nr_samples_per_audio=n_crops)
+    step = make_jepa_train_step(
+        model, tx, sched, nr_samples_per_audio=n_crops,
+        accum_steps=train_cfg.resolved_accum_steps(),
+    )
 
     with tempfile.TemporaryDirectory() as td:
         # enough unique clips that the stream never rewinds mid-window;

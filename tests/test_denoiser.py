@@ -1,6 +1,8 @@
 """Denoiser distillation: loss math, warm start, fused step smoke + learning,
 data pipeline shapes."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -143,6 +145,79 @@ def test_denoise_accum_matches_single_pass():
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), rtol=2e-4, atol=2e-5
         )
+
+
+def test_alpha_zero_detach_is_exact():
+    """At alpha=0.0 the clean-view gradient term is 0.0 * (finite) == 0.0
+    exactly, so detaching the clean student forward (denoise_step.py) must
+    not change the gradients — only delete the clean backward pass."""
+    student = DenoiserStudent(TINY)
+    rng = np.random.default_rng(7)
+    clean = jnp.asarray(rng.standard_normal((2, 1, TINY.target_length)), jnp.float32)
+    noisy = jnp.asarray(rng.standard_normal((2, 1, TINY.target_length)), jnp.float32)
+    params = student.init(jax.random.PRNGKey(1), clean)["params"]
+    targets = jax.lax.stop_gradient(student.apply({"params": params}, clean))
+
+    def loss_plain(p):  # reference formula: clean view differentiated
+        out_clean = student.apply({"params": p}, clean)
+        out_noisy = student.apply({"params": p}, noisy)
+        return denoiser_distillation_loss(out_clean, out_noisy, targets, 0.0)[0]
+
+    def loss_detached(p):  # the optimization applied in denoise_step.py
+        out_clean = student.apply({"params": jax.lax.stop_gradient(p)}, clean)
+        out_noisy = student.apply({"params": p}, noisy)
+        return denoiser_distillation_loss(out_clean, out_noisy, targets, 0.0)[0]
+
+    g_plain = jax.grad(loss_plain)(params)
+    g_det = jax.grad(loss_detached)(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_det)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        )
+
+
+def test_log_clean_loss_off_same_training():
+    """log_clean_loss=False at alpha=0 skips the clean student forward:
+    updated params and loss must match the default step exactly; only the
+    loss_clean diagnostic becomes 0."""
+    teacher = JEPA(TINY)
+    student = DenoiserStudent(TINY)
+    audio0 = jnp.zeros((1, 1, TINY.target_length))
+    tparams = teacher.init(jax.random.PRNGKey(0), audio0)["params"]
+    # fresh (NOT warm-started) student so loss_clean > 0 — warm start makes
+    # student(clean) == teacher.represent(clean) exactly at step 0
+    sparams = student.init(jax.random.PRNGKey(9), audio0)["params"]
+    tx, sched = make_denoise_optimizer(
+        DenoiseOptimizerConfig(lr=1e-3, warmup_steps=1, total_steps=50)
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in next(
+            iter(
+                synthetic_denoise_batches(
+                    2, scene_len=_dcfg().scene_length, rir_len=320, seed=11
+                )
+            )
+        ).items()
+    }
+
+    def run(log_clean):
+        dcfg = dataclasses.replace(_dcfg(), alpha=0.0, log_clean_loss=log_clean)
+        state = DenoiseTrainState.create(jax.tree.map(jnp.copy, sparams), tx)
+        step = make_denoise_train_step(
+            student, teacher, dcfg, tx, sched,
+            with_rir=True, with_noise=True, donate=False,
+        )
+        state, metrics = step(state, tparams, batch, jax.random.PRNGKey(3))
+        return state, metrics
+
+    s_on, m_on = run(True)
+    s_off, m_off = run(False)
+    assert float(m_on["loss_clean"]) > 0.0
+    assert float(m_off["loss_clean"]) == 0.0
+    np.testing.assert_allclose(float(m_off["loss"]), float(m_on["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_on.params), jax.tree.leaves(s_off.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5, atol=1e-7)
 
 
 def test_denoise_step_noise_only_and_rir_only():

@@ -219,7 +219,8 @@ class WavJEPATransformersModel(PreTrainedModel):
             np.float32,
         )
         emb, ts = self._runtime().get_timestamp_embeddings(arr)
-        return torch.as_tensor(np.asarray(emb)), torch.as_tensor(np.asarray(ts))
+        # np.array copies → writable (jax exports read-only buffers)
+        return torch.as_tensor(np.array(emb)), torch.as_tensor(np.array(ts))
 
 
 class WavJEPATransformersFeatureExtractor(FeatureExtractionMixin):
@@ -263,7 +264,7 @@ def export_transformers_pretrained(
     save_dir = Path(save_dir)
     sd = export_jepa_state_dict(params, teacher_encoder)
     tensors = {
-        k: torch.as_tensor(np.ascontiguousarray(np.asarray(v, np.float32)))
+        k: torch.as_tensor(np.array(v, np.float32))  # np.array copies → writable
         for k, v in sd.items()
     }
     hf_cfg = WavJEPATransformersConfig.from_jepa_config(

@@ -53,6 +53,11 @@ class DenoiserConfig:
     original_sr: int = 32000  # scene-synthesis rate (denoiser.py:23)
     nr_samples_per_audio: int = 16
     target_seconds: float = 10.0
+    # The reference logs loss_clean every step even at alpha=0 where it is
+    # diagnostics-only (denoiser.py:353-365). False skips that clean-view
+    # student forward entirely when alpha==0.0 — training dynamics are
+    # bit-identical; only the logged diagnostic disappears.
+    log_clean_loss: bool = True
 
     @property
     def scene_length(self) -> int:
@@ -125,14 +130,24 @@ def student_params_from_jepa(jepa_params: Any) -> Any:
 
 
 def denoiser_distillation_loss(
-    student_clean: jax.Array,
+    student_clean: Optional[jax.Array],
     student_noisy: jax.Array,
     teacher_clean: jax.Array,
     alpha: float,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """α-blended full-sequence MSE (denoiser.py:353-365), f32."""
+    """α-blended full-sequence MSE (denoiser.py:353-365), f32.
+
+    ``student_clean=None`` (only legal at alpha==0.0, see
+    DenoiserConfig.log_clean_loss) skips the diagnostics-only clean term;
+    loss_clean is reported as 0.
+    """
     teacher = jax.lax.stop_gradient(teacher_clean.astype(jnp.float32))
-    loss_clean = jnp.mean(jnp.square(student_clean.astype(jnp.float32) - teacher))
     loss_dn = jnp.mean(jnp.square(student_noisy.astype(jnp.float32) - teacher))
+    if student_clean is None:
+        if alpha != 0.0:
+            raise ValueError("student_clean may only be omitted at alpha=0.0")
+        zero = jnp.float32(0)
+        return loss_dn, {"loss_clean": zero, "loss_denoise_dereverb": loss_dn}
+    loss_clean = jnp.mean(jnp.square(student_clean.astype(jnp.float32) - teacher))
     loss = alpha * loss_clean + (1.0 - alpha) * loss_dn
     return loss, {"loss_clean": loss_clean, "loss_denoise_dereverb": loss_dn}

@@ -64,8 +64,11 @@ def aggregate_noise(noise_rirs: jax.Array, noise: jax.Array) -> jax.Array:
     (generate_scenes_batch.py:47-70: same noise sample convolved with each
     source's RIR, summed).
     """
-    conv = fft_convolve_full_trunc(noise[:, None, None, :], noise_rirs)  # (B,N,C,T)
-    return jnp.sum(conv, axis=1)
+    # Linearity: Σ_n conv(noise, rir_n) = conv(noise, Σ_n rir_n) — the same
+    # noise sample feeds every source (generate_scenes_batch.py:47-70), so
+    # summing RIRs first replaces N rfft/irfft pairs per (B, C) row with one
+    # (zero rows still contribute nothing). Exact up to f32 sum reordering.
+    return fft_convolve_full_trunc(noise[:, None, :], jnp.sum(noise_rirs, axis=1))
 
 
 def add_noise(

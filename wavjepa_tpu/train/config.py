@@ -177,6 +177,9 @@ class Config:
     # denoiser-only
     alpha: float = 0.0
     teacher_ckpt: str = ""
+    # False + alpha=0 skips the diagnostics-only clean student forward
+    # (loss_clean logged as 0; training dynamics unchanged — denoiser.py)
+    log_clean_loss: bool = True
     # dotted keys the user set explicitly (YAML file or CLI override) —
     # consumers that layer defaults (denoise.py, denoise_loop) must never
     # clobber these. Populated by load_config/apply_overrides.

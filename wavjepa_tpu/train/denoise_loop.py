@@ -151,6 +151,7 @@ def train_denoiser(
         jepa=jcfg, alpha=cfg.alpha,
         nr_samples_per_audio=cfg.data.samples_per_audio,
         target_seconds=cfg.data.target_seconds,
+        log_clean_loss=cfg.log_clean_loss,
     )
     teacher = JEPA(jcfg)
     student = DenoiserStudent(jcfg)

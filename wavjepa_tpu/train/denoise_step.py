@@ -150,14 +150,28 @@ def make_denoise_train_step(
 
         # --- frozen teacher targets: full JEPA representation of the clean
         # view (final-normed encoder output, denoiser.py:352-356) ---
+        # At the blend endpoints the dead view's gradient is exactly zero
+        # (0.0 * finite == 0.0 in f32), so detaching its student forward is
+        # exact — but deletes that view's entire backward pass. The reference
+        # backprops zeros through it anyway (denoiser.py:353-365); alpha=0.0
+        # is the shipped default, so this removes ~1/3 of the model compute.
+        alpha = float(cfg.alpha)
+        # log_clean_loss=False + alpha=0 drops even the clean forward —
+        # loss_clean is diagnostics-only there (reported as 0).
+        clean_fwd = cfg.log_clean_loss or alpha != 0.0
+
         def loss_fn(params, clean_mb, noisy_mb):
             targets = teacher.apply(
                 {"params": teacher_params}, clean_mb, method="represent"
             )
-            out_clean = student.apply({"params": params}, clean_mb)
-            out_noisy = student.apply({"params": params}, noisy_mb)
+            p_clean = jax.lax.stop_gradient(params) if alpha == 0.0 else params
+            p_noisy = jax.lax.stop_gradient(params) if alpha == 1.0 else params
+            out_clean = (
+                student.apply({"params": p_clean}, clean_mb) if clean_fwd else None
+            )
+            out_noisy = student.apply({"params": p_noisy}, noisy_mb)
             return denoiser_distillation_loss(
-                out_clean, out_noisy, targets, cfg.alpha
+                out_clean, out_noisy, targets, alpha
             )
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -80,13 +80,17 @@ def jepa_step_flops(cfg, n_crops: int, n_targets: int = 4) -> int:
     return n_crops * (3 * f["student"] + f["teacher"])
 
 
-def denoise_step_flops(cfg, n_crops: int) -> int:
-    """Useful FLOPs of one denoise-distillation step at ``n_crops`` total
+def denoise_step_flops(
+    cfg, n_crops: int, alpha: float | None = None, clean_forward: bool = True
+) -> int:
+    """Executed FLOPs of one denoise-distillation step at ``n_crops`` total
     crops (clips × samples_per_audio): the student is the JEPA encoder path
     at FULL length (no masking → no packing), run fwd+bwd on BOTH the clean
     and noisy views, plus one frozen-teacher forward on the clean view
-    (train/denoise_step.py). Scene FFTs / resampling are elementwise-ish and
-    excluded by the matmul-only convention."""
+    (train/denoise_step.py). At the blend endpoints (``alpha`` 0.0 or 1.0)
+    the dead view's backward is pruned by the stop_gradient optimization in
+    denoise_step.py, so it counts forward-only. Scene FFTs / resampling are
+    elementwise-ish and excluded by the matmul-only convention."""
     t = cfg.total_patches
     if getattr(cfg, "extractor", "conv") == "conv_channel":
         conv = cfg.in_channels * conv_frontend_flops(cfg.conv_spec, cfg.target_length, 1)
@@ -97,6 +101,11 @@ def denoise_step_flops(cfg, n_crops: int) -> int:
         t, cfg.encoder_dim, int(cfg.encoder_dim * cfg.mlp_ratio)
     )
     fwd = conv + mapper + enc
+    if alpha is not None and float(alpha) in (0.0, 1.0):
+        # dead view fwd-only (or skipped entirely when it is the clean view
+        # and log_clean_loss=False) + live view fwd+bwd + teacher fwd
+        dead = fwd if (clean_forward or float(alpha) == 1.0) else 0
+        return n_crops * (dead + 3 * fwd + fwd)
     return n_crops * (2 * 3 * fwd + fwd)  # 2 views fwd+bwd + teacher fwd
 
 
