@@ -119,14 +119,21 @@ class DenoiserStudent(nn.Module):
 def student_params_from_jepa(jepa_params: Any) -> Any:
     """Extract the encoder-path subtree of a JEPA parameter tree for
     warm-starting a DenoiserStudent (reference load_state_dict(strict=False),
-    denoise.py:195-210 / denoiser.py:149-186)."""
+    denoise.py:195-210 / denoiser.py:149-186).
+
+    Returns fresh buffers (not views into ``jepa_params``): the train step
+    donates the student state while the teacher tree rides alongside as a
+    non-donated argument, and aliased donation is a runtime InvalidArgument
+    on the TPU backend.
+    """
     keep = (
         "extract_audio",
         "feature_norms",
         "post_extraction_mapper",
         "encoder",
     )
-    return {k: jepa_params[k] for k in keep if k in jepa_params}
+    sub = {k: jepa_params[k] for k in keep if k in jepa_params}
+    return jax.tree.map(jnp.copy, sub)
 
 
 def denoiser_distillation_loss(

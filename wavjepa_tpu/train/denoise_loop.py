@@ -157,8 +157,9 @@ def train_denoiser(
     student = DenoiserStudent(jcfg)
 
     teacher_params = jax.device_put(load_teacher_params(cfg.teacher_ckpt, teacher))
-    # student warm-start = the teacher's encoder path (denoise.py:195-210)
-    student_params = jax.tree.map(jnp.copy, student_params_from_jepa(teacher_params))
+    # student warm-start = the teacher's encoder path (denoise.py:195-210);
+    # student_params_from_jepa copies, so donation can't alias the teacher tree
+    student_params = student_params_from_jepa(teacher_params)
 
     opt_cfg = DenoiseOptimizerConfig(
         lr=cfg.optimizer.lr,
