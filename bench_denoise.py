@@ -52,15 +52,19 @@ def main():
     batch_clips = int(os.environ.get("BENCH_CLIPS", "32")) * n_chips
     n_crops = 8
 
-    # denoise has no masking → no packing; build the plain model config.
-    # ACCUM microbatches the step (train/denoise_step.py); REMAT=0 turns
-    # all remat off (microbatching shrinks the held activations instead)
-    accum = int(os.environ.get("ACCUM", "1"))
+    # build_denoise_model_config: packing off, remat auto-off when
+    # microbatching. ACCUM overrides the auto accumulation (measured
+    # optimum 4 at this 256-crop batch); REMAT=0 forces all remat off.
     train_cfg = Config()
-    train_cfg.trainer.pack_tokens = "off"
+    train_cfg.trainer.batch_size = batch_clips // n_chips
+    train_cfg.data.samples_per_audio = n_crops
+    if os.environ.get("ACCUM"):
+        train_cfg.trainer.accum_steps = int(os.environ["ACCUM"])
+    accum = train_cfg.resolved_denoise_accum_steps()
     if os.environ.get("REMAT", "1") == "0":
         train_cfg.trainer.remat = False
-    jcfg = train_cfg.build_model_config()
+        train_cfg.explicit_keys.add("trainer.remat")
+    jcfg = train_cfg.build_denoise_model_config()
     # LOG_CLEAN=0 skips the diagnostics-only clean student forward (exact
     # training dynamics; loss_clean not logged — models/denoiser.py)
     log_clean = os.environ.get("LOG_CLEAN", "1") != "0"

@@ -101,6 +101,26 @@ def test_accum_auto_resolution():
     assert explicit.build_model_config().remat_decoder is True
 
 
+def test_denoise_accum_auto_resolution():
+    """Denoise auto accumulation picks 4 (the measured optimum, not SSL's
+    16) at >=128-crop batches, turns remat fully off alongside it, never
+    packs, and yields to explicit trainer.remat / accum_steps settings."""
+    cfg = load_config(None)  # 32 clips x 8 crops = 256 crops
+    assert cfg.resolved_denoise_accum_steps() == 4
+    m = cfg.build_denoise_model_config()
+    assert m.remat is False and m.pack_encoder is None
+
+    small = apply_overrides(load_config(None), ["trainer.batch_size=2"])
+    assert small.resolved_denoise_accum_steps() == 1
+    assert small.build_denoise_model_config().remat is True
+
+    explicit = apply_overrides(
+        load_config(None), ["trainer.remat=true", "trainer.accum_steps=2"]
+    )
+    assert explicit.resolved_denoise_accum_steps() == 2
+    assert explicit.build_denoise_model_config().remat is True
+
+
 def test_optional_coercion_dispatches_on_declared_type():
     """ADVICE r2: '=1'/'=0' on an Optional[bool] field becomes a bool, while
     'null' clears it — dispatch is on the DECLARED type, not the current

@@ -304,6 +304,55 @@ class Config:
                     return cand
         return 1
 
+    def resolved_denoise_accum_steps(self) -> int:
+        """Denoise-path accumulation (trainer.accum_steps with 0 = auto).
+
+        The denoise step has no decoder and no packing, so its optimum
+        differs from SSL's 16. Measured v5e r3 at the reference 256-crop
+        batch (32 clips x 8 crops, ms/step): accum 1 + full remat 891,
+        then with remat off: 2 -> 734, **4 -> 657** (48.7 clips/s/chip,
+        vs_baseline 1.314), 8 -> 685, 16 -> 677. Auto engages at >=128-crop
+        batches, picking the largest of 4/2 that divides the crop count."""
+        a = self.trainer.accum_steps
+        if a != 0:
+            return a
+        crops = self.trainer.batch_size * self.data.samples_per_audio
+        if crops >= 128:
+            for cand in (4, 2):
+                if crops % cand == 0:
+                    return cand
+        return 1
+
+    def build_denoise_model_config(self):
+        """JEPAConfig for the denoise path.
+
+        Packing stays off (it is a masking-time concept; the denoise step
+        runs full sequences), and when microbatching is on and the user left
+        remat on auto, remat goes fully off — one microbatch's activations
+        fit without backward replays (measured 891 -> 657 ms, see
+        resolved_denoise_accum_steps). Explicit trainer.remat* settings
+        always win."""
+        import dataclasses as _dc
+
+        cfg = self._base_model_config()
+        tr = self.trainer
+        if (
+            self.resolved_denoise_accum_steps() > 1
+            and "trainer.remat" not in self.explicit_keys
+        ):
+            cfg = _dc.replace(cfg, remat=False)
+        return _dc.replace(
+            cfg,
+            **{
+                k: v
+                for k in ("remat_conv", "remat_encoder", "remat_decoder")
+                if (v := getattr(tr, k)) is not None
+            },
+            remat_save_probs=tr.remat_save_probs,
+            attn_impl=tr.attn_impl,
+            attn_impl_decoder=tr.attn_impl_decoder,
+        )
+
     def build_model_config(self):
         """Assemble the JEPAConfig for this run."""
         import dataclasses as _dc

@@ -102,7 +102,7 @@ def effective_scene_flags(cfg: Config) -> tuple[bool, bool]:
 
 
 def build_denoise_data_iterator(cfg: Config) -> Iterator[dict[str, np.ndarray]]:
-    dcfg = DenoiserConfig(jepa=cfg.build_model_config(), alpha=cfg.alpha)
+    dcfg = DenoiserConfig(jepa=cfg.build_denoise_model_config(), alpha=cfg.alpha)
     with_rir, with_noise = effective_scene_flags(cfg)
     if cfg.data.synthetic or not cfg.data.data_dirs:
         return synthetic_denoise_batches(
@@ -146,7 +146,7 @@ def train_denoiser(
     )
     n_chips = int(np.prod(mesh.devices.shape))
 
-    jcfg = cfg.build_model_config()
+    jcfg = cfg.build_denoise_model_config()
     dcfg = DenoiserConfig(
         jepa=jcfg, alpha=cfg.alpha,
         nr_samples_per_audio=cfg.data.samples_per_audio,
@@ -198,6 +198,7 @@ def train_denoiser(
     step_fn = make_denoise_train_step(
         student, teacher, dcfg, tx, lr_sched,
         with_rir=with_rir, with_noise=with_noise,
+        accum_steps=cfg.resolved_denoise_accum_steps(),
     )
 
     run_dir = Path(cfg.trainer.save_dir) / ("Denoise-" + cfg.run_identity())
