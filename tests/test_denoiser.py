@@ -70,6 +70,28 @@ def test_student_warm_start_matches_teacher_representation():
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_s), atol=1e-6)
 
 
+def test_student_warm_start_does_not_alias_teacher_buffers():
+    """student_params_from_jepa must return fresh buffers: the denoise step
+    donates the student state while the teacher tree rides alongside as a
+    non-donated argument, and aliased donation is a runtime InvalidArgument
+    on the TPU backend (regression: r3 denoise bench failure)."""
+    teacher = JEPA(TINY)
+    tparams = teacher.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 1, TINY.target_length))
+    )["params"]
+    sparams = student_params_from_jepa(tparams)
+
+    def buf(x):  # device buffer address — id() can't see XLA-level sharing
+        try:
+            return x.unsafe_buffer_pointer()
+        except Exception:
+            return id(x)
+
+    t_bufs = {buf(x) for x in jax.tree.leaves(tparams)}
+    for leaf in jax.tree.leaves(sparams):
+        assert buf(leaf) not in t_bufs, "warm-start leaf aliases teacher tree"
+
+
 def test_denoise_step_runs_and_learns():
     dcfg = _dcfg()
     teacher = JEPA(TINY)
