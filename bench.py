@@ -18,11 +18,7 @@ with a host value fetch (the tunneled TPU backend does not block in
 block_until_ready; see the project verify skill).
 """
 
-import json
-import math
-import time
-
-BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.5
+from bench_common import time_steps
 
 
 def main():
@@ -59,6 +55,14 @@ def main():
     train_cfg.trainer.batch_size = batch_clips // n_chips
     if os.environ.get("PACK", "1") == "0":
         train_cfg.trainer.pack_tokens = "off"
+    # ACCUM overrides the auto-resolved microbatch count for A/B runs. It
+    # must be set BEFORE build_model_config: the remat auto-resolution keys
+    # off resolved_accum_steps() (accum>1 → decoder remat off), so applying
+    # the override afterwards would measure e.g. ACCUM=1 with remat off —
+    # a config that OOMs at 256 crops and matches nothing in PERF.md.
+    if "ACCUM" in os.environ:
+        train_cfg.trainer.accum_steps = int(os.environ["ACCUM"])
+        train_cfg.explicit_keys.add("trainer.accum_steps")
     cfg = train_cfg.build_model_config()
     model = JEPA(cfg)
     params = model.init(
@@ -66,8 +70,7 @@ def main():
     )["params"]
     tx, sched = make_optimizer(OptimizerConfig())
     state = TrainState.create(params, tx)
-    # ACCUM overrides the auto-resolved microbatch count for A/B runs
-    accum = int(os.environ.get("ACCUM", str(train_cfg.resolved_accum_steps())))
+    accum = train_cfg.resolved_accum_steps()
     step = make_jepa_train_step(
         model, tx, sched, nr_samples_per_audio=n_crops, accum_steps=accum
     )
@@ -77,47 +80,25 @@ def main():
     audio = shard_batch(mesh, jnp.asarray(audio))
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup. NOTE: timing is closed by a host value fetch of the
-    # LAST step's loss — it depends on the whole donated-state chain, so it
-    # forces every timed step. (block_until_ready does not reliably block on
-    # tunneled/remote TPU backends — measured 100x-inflated rates with it.)
-    state, metrics = step(state, audio, key)
-    float(metrics["loss"])
-    for _ in range(2):
+    def run_step():
+        nonlocal state
         state, metrics = step(state, audio, key)
-    float(metrics["loss"])
+        return metrics
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, audio, key)
-    loss = float(metrics["loss"])
-    dt = time.perf_counter() - t0
-    assert math.isfinite(loss), f"non-finite loss {loss}"
-
-    clips_per_sec = batch_clips * iters / dt
-    value = clips_per_sec / n_chips
+    step_seconds, _loss = time_steps(run_step)
 
     # MFU: analytic useful FLOPs (student fwd + teacher fwd + 2x student
     # bwd; remat recompute excluded by convention) / measured step time /
     # 197 bf16 TFLOP/s v5e peak — VERDICT r1 item 10, so progress is
     # measurable independently of the H100-walltime baseline estimate.
-    from wavjepa_tpu.utils.flops import jepa_step_flops, mfu
+    from bench_common import emit
+    from wavjepa_tpu.utils.flops import jepa_step_flops
 
-    step_flops = jepa_step_flops(cfg, n_crops * batch_clips // n_chips)
-    step_seconds = dt / iters
-    print(
-        json.dumps(
-            {
-                "metric": "pretrain_clips_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "clips/s/chip",
-                "vs_baseline": round(value / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
-                "step_time_ms": round(1000 * step_seconds, 1),
-                "tflops_per_step": round(step_flops / 1e12, 2),
-                "mfu": round(mfu(step_flops, step_seconds), 4),
-            }
-        )
+    emit(
+        "pretrain_clips_per_sec_per_chip",
+        batch_clips / n_chips / step_seconds,
+        step_seconds,
+        jepa_step_flops(cfg, n_crops * batch_clips // n_chips),
     )
 
 

@@ -14,9 +14,7 @@ vs_baseline derivation (BASELINE.md): the reference denoise budget is
 walltime-floor method as bench.py's 50.5. Prints ONE JSON line.
 """
 
-import json
-import math
-import time
+from bench_common import emit, time_steps
 
 BASELINE_CLIPS_PER_SEC_PER_CHIP = 100_000 * 32 / (24 * 3600)  # 37.04
 
@@ -43,7 +41,7 @@ def main():
         make_denoise_optimizer,
         make_denoise_train_step,
     )
-    from wavjepa_tpu.utils.flops import denoise_step_flops, mfu
+    from wavjepa_tpu.utils.flops import denoise_step_flops
 
     n_chips = len(jax.devices())
     mesh = make_mesh(n_chips)
@@ -97,42 +95,22 @@ def main():
     teacher_params = jax.device_put(teacher_params)
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup; timings closed by a host fetch of the last loss
-    # (block_until_ready does not block through the tunnel — see bench.py)
-    state, metrics = step(state, teacher_params, batch, key)
-    float(metrics["loss"])
-    for _ in range(2):
+    def run_step():
+        nonlocal state
         state, metrics = step(state, teacher_params, batch, key)
-    float(metrics["loss"])
+        return metrics
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, teacher_params, batch, key)
-    loss = float(metrics["loss"])
-    dt = time.perf_counter() - t0
-    assert math.isfinite(loss), f"non-finite loss {loss}"
-
-    clips_per_sec = batch_clips * iters / dt
-    value = clips_per_sec / n_chips
-    step_flops = denoise_step_flops(
-        jcfg, n_crops * batch_clips // n_chips, alpha=dcfg.alpha,
-        clean_forward=log_clean,
-    )
-    step_seconds = dt / iters
-    print(
-        json.dumps(
-            {
-                "metric": "denoise_clips_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "clips/s/chip",
-                "vs_baseline": round(value / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
-                "step_time_ms": round(1000 * step_seconds, 1),
-                "tflops_per_step": round(step_flops / 1e12, 2),
-                "mfu": round(mfu(step_flops, step_seconds), 4),
-                "clips_per_step_per_chip": batch_clips // n_chips,
-            }
-        )
+    step_seconds, _loss = time_steps(run_step)
+    emit(
+        "denoise_clips_per_sec_per_chip",
+        batch_clips / n_chips / step_seconds,
+        step_seconds,
+        denoise_step_flops(
+            jcfg, n_crops * batch_clips // n_chips, alpha=dcfg.alpha,
+            clean_forward=log_clean,
+        ),
+        baseline=BASELINE_CLIPS_PER_SEC_PER_CHIP,
+        clips_per_step_per_chip=batch_clips // n_chips,
     )
 
 

@@ -103,7 +103,7 @@ def main():
             device_iter = prefetch_to_device(batches, mesh)
             key = jax.random.PRNGKey(1)
 
-            # compile + warmup (closed by host fetch; see bench.py)
+            # compile + warmup (closed by host fetch; see bench_common.time_steps)
             state, metrics = step(state, next(device_iter), key)
             float(metrics["loss"])
             state, metrics = step(state, next(device_iter), key)

@@ -13,11 +13,7 @@ the same 375 k-step/66 h budget (train.sh), just with binaural scenes.
 Prints ONE JSON line.
 """
 
-import json
-import math
-import time
-
-BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.5
+from bench_common import emit, time_steps
 
 
 def main():
@@ -37,7 +33,7 @@ def main():
         make_jepa_train_step,
         make_optimizer,
     )
-    from wavjepa_tpu.utils.flops import jepa_step_flops, mfu
+    from wavjepa_tpu.utils.flops import jepa_step_flops
 
     cfg = load_config("configs/nat_binaural.yaml")
     n_chips = len(jax.devices())
@@ -52,6 +48,12 @@ def main():
     # keep the auto accum/remat resolution aligned with the actual bench
     # batch (must happen before build_model_config resolves remat_decoder)
     cfg.trainer.batch_size = batch_clips // n_chips
+    # ACCUM must also land before build_model_config (same reason): the
+    # remat auto-resolution keys off resolved_accum_steps(), so a late
+    # override would measure a remat config matching nothing in PERF.md
+    if "ACCUM" in os.environ:
+        cfg.trainer.accum_steps = int(os.environ["ACCUM"])
+        cfg.explicit_keys.add("trainer.accum_steps")
     model_cfg = cfg.build_model_config()
     model = JEPA(model_cfg)
     params = model.init(
@@ -64,8 +66,7 @@ def main():
     scene_cfg = NatSceneConfig(
         with_rir=True, with_noise=True, n_channels=cfg.data.in_channels
     )
-    # ACCUM overrides the auto-resolved microbatch count for A/B runs
-    accum = int(os.environ.get("ACCUM", str(cfg.resolved_accum_steps())))
+    accum = cfg.resolved_accum_steps()
     step = make_jepa_train_step(
         model,
         tx,
@@ -89,39 +90,18 @@ def main():
     batch = {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
     key = jax.random.PRNGKey(1)
 
-    # compile + warmup; timings closed by a host fetch of the last loss
-    # (block_until_ready does not block through the tunnel — see bench.py)
-    state, metrics = step(state, batch, key)
-    float(metrics["loss"])
-    for _ in range(2):
+    def run_step():
+        nonlocal state
         state, metrics = step(state, batch, key)
-    float(metrics["loss"])
+        return metrics
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics = step(state, batch, key)
-    loss = float(metrics["loss"])
-    dt = time.perf_counter() - t0
-    assert math.isfinite(loss), f"non-finite loss {loss}"
-
-    clips_per_sec = batch_clips * iters / dt
-    value = clips_per_sec / n_chips
-    step_flops = jepa_step_flops(model_cfg, n_crops * batch_clips // n_chips)
-    step_seconds = dt / iters
-    print(
-        json.dumps(
-            {
-                "metric": "nat_pretrain_clips_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "clips/s/chip",
-                "vs_baseline": round(value / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
-                "step_time_ms": round(1000 * step_seconds, 1),
-                "tflops_per_step": round(step_flops / 1e12, 2),
-                "mfu": round(mfu(step_flops, step_seconds), 4),
-                "clips_per_step_per_chip": batch_clips // n_chips,
-            }
-        )
+    step_seconds, _loss = time_steps(run_step)
+    emit(
+        "nat_pretrain_clips_per_sec_per_chip",
+        batch_clips / n_chips / step_seconds,
+        step_seconds,
+        jepa_step_flops(model_cfg, n_crops * batch_clips // n_chips),
+        clips_per_step_per_chip=batch_clips // n_chips,
     )
 
 

@@ -40,10 +40,17 @@ case "$cmd" in
       "${extra[@]}"
     ;;
   sync)
-    # rsync the repo to every worker (spotty syncFilters analog)
-    gtpu scp --recurse --worker=all \
-      --scp-flag="--exclude=.git" \
-      "$REPO_DIR" "$name":~/wavjepa_tpu_repo
+    # Ship a tarball (spotty syncFilters analog): scp has no --exclude
+    # option, and `scp -r dir existing-dir` would nest the repo one level
+    # deeper on every re-sync — tar+unpack-in-place has neither problem.
+    tarball="$(mktemp /tmp/wavjepa_sync.XXXXXX.tar.gz)"
+    trap 'rm -f "$tarball"' EXIT
+    tar -C "$REPO_DIR" -czf "$tarball" \
+      --exclude='.git' --exclude='__pycache__' --exclude='.pytest_cache' \
+      --exclude='*.so' .
+    gtpu scp --worker=all "$tarball" "$name":/tmp/wavjepa_sync.tar.gz
+    gtpu ssh "$name" --worker=all --command \
+      "mkdir -p ~/wavjepa_tpu_repo && tar -xzf /tmp/wavjepa_sync.tar.gz -C ~/wavjepa_tpu_repo && rm -f /tmp/wavjepa_sync.tar.gz"
     ;;
   setup)
     gtpu ssh "$name" --worker=all --command \

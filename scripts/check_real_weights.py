@@ -80,12 +80,25 @@ def main() -> int:
         ref_out = ref_model(torch.from_numpy(audio if args.nat else audio[:, 0]))
     ref_emb = np.asarray(ref_out[0] if isinstance(ref_out, (tuple, list)) else ref_out)
 
-    from wavjepa_tpu.api.convert import convert_jepa_state_dict
+    from wavjepa_tpu.api.convert import convert_jepa_state_dict, detect_pos_embed
 
     cfg = JEPAConfig(
         in_channels=channels,
         extractor="conv_channel" if args.nat else "conv",
     )
+    # The positional table is config-derived on our side but stored as a
+    # frozen parameter in reference checkpoints — detect which table the
+    # published weights actually trained with instead of guessing ("time"
+    # is the reference's training default, wavjepa/jepa.py:163-180).
+    detected = detect_pos_embed(
+        ref_model.state_dict(), cfg.encoder_dim, cfg.frames_per_window,
+        cfg.total_patches,
+    )
+    if detected is not None and detected != cfg.pos_embed:
+        import dataclasses
+
+        print(f"detected pos_embed={detected!r} from the checkpoint")
+        cfg = dataclasses.replace(cfg, pos_embed=detected)
     params, _teacher = convert_jepa_state_dict(
         ref_model.state_dict(),
         channel_wise=args.nat,

@@ -274,3 +274,22 @@ def test_sed_scores_empty_inputs_are_zero_not_nan():
     assert dict(seg({}, {}))["error_rate"] == 0.0
     # prediction file exists but both lists empty
     assert dict(ev({"f1": []}, {"f1": []}))["f_measure"] == 0.0
+
+
+def test_event_matching_deep_augmenting_paths_no_recursion_limit():
+    """A densely-annotated file whose augmenting paths chain through
+    thousands of previously-matched events must not hit Python's recursion
+    limit (the matcher is iterative). Staircase graph: ref i overlaps ests
+    i-1 and i, so matching ref i flips the entire existing chain."""
+    import sys
+
+    from wavjepa_tpu.eval.score import _max_matching
+
+    n = 3000
+    adj = [[i - 1, i] if i else [0] for i in range(n)]
+    limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(200)
+    try:
+        assert _max_matching(adj, n) == n
+    finally:
+        sys.setrecursionlimit(limit)

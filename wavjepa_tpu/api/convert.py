@@ -33,6 +33,54 @@ def strip_compile_prefixes(state_dict: Mapping[str, object]) -> dict[str, object
     return {k.replace("._orig_mod", ""): v for k, v in state_dict.items()}
 
 
+def detect_pos_embed(
+    state_dict: Mapping[str, object],
+    encoder_dim: int,
+    frames_per_window: int,
+    total_patches: int,
+    atol: float = 1e-3,
+) -> "str | None":
+    """Infer which positional table a reference checkpoint trained with.
+
+    The reference stores the (frozen) positional table as a parameter
+    (``pos_encoding_encoder``, /root/reference/wavjepa/jepa.py:139,163-180),
+    so real checkpoints carry the exact table they trained with — while this
+    framework derives it from ``JEPAConfig.pos_embed``, which the loader must
+    therefore get right. The reference's training path always builds the 1-D
+    sincos table over ``total_patches`` (its ``get_binaural_pos_embed`` is
+    never called in the snapshot we mirror), but published Nat weights could
+    in principle use either, so compare against both candidates.
+
+    Returns "time", "binaural", or None (no pos buffer in the dict / neither
+    table matches — caller should fall back to its configured default).
+    """
+    from wavjepa_tpu.ops.pos_embed import (
+        get_1d_sincos_pos_embed_from_grid,
+        get_binaural_pos_embed,
+    )
+
+    if "state_dict" in state_dict and not hasattr(state_dict["state_dict"], "shape"):
+        state_dict = state_dict["state_dict"]
+    stored = None
+    for key, value in state_dict.items():
+        if key.replace("._orig_mod", "").endswith("pos_encoding_encoder"):
+            stored = _np(value)
+            break
+    if stored is None or stored.size != total_patches * encoder_dim:
+        return None  # absent, or trained at different dims than the probe
+    stored = stored.reshape(total_patches, encoder_dim).astype(np.float64)
+    time_table = get_1d_sincos_pos_embed_from_grid(
+        encoder_dim, np.arange(total_patches, dtype=np.float64)
+    )
+    if np.allclose(stored, time_table, atol=atol):
+        return "time"
+    if total_patches == 2 * frames_per_window and np.allclose(
+        stored, get_binaural_pos_embed(encoder_dim, frames_per_window), atol=atol
+    ):
+        return "binaural"
+    return None
+
+
 def convert_linear(state_dict, prefix: str) -> dict:
     out = {"kernel": _np(state_dict[f"{prefix}.weight"]).T}
     if f"{prefix}.bias" in state_dict:
@@ -229,11 +277,26 @@ def export_conv_frontend(params: Mapping, prefix: str, out: dict):
             out[f"{prefix}.{i}.2.bias"] = _t(block["norm_bias"])
 
 
-def export_jepa_state_dict(params: Mapping, teacher_encoder=None) -> dict:
+def export_jepa_state_dict(params: Mapping, teacher_encoder=None,
+                           model_config=None) -> dict:
     """flax JEPA params → reference-format torch ``state_dict`` (numpy
     values; wrap with torch.as_tensor to save as a .ckpt / publish to the
-    Hub). Inverse of convert_jepa_state_dict — roundtrips bit-exactly."""
+    Hub). Inverse of convert_jepa_state_dict — roundtrips bit-exactly.
+
+    Pass ``model_config`` (a JEPAConfig) to also emit the frozen positional
+    tables (``pos_encoding_encoder``/``pos_encoding_decoder``): the reference
+    stores them as parameters (wavjepa/jepa.py:139,163-180) and loads with
+    ``strict=False``, so an export without them silently falls back to the
+    loader's own 1-D table — wrong for binaural-trained Nat models.
+    """
     out: dict = {}
+    if model_config is not None:
+        out["pos_encoding_encoder"] = model_config.pos_table(
+            model_config.encoder_dim
+        )
+        out["pos_encoding_decoder"] = model_config.pos_table(
+            model_config.decoder_dim
+        )
     extractor = params["extract_audio"]
     if any(k.startswith("cnn_") for k in extractor):
         for name, cnn in extractor.items():

@@ -262,7 +262,10 @@ def export_transformers_pretrained(
     from wavjepa_tpu.api.convert import export_jepa_state_dict
 
     save_dir = Path(save_dir)
-    sd = export_jepa_state_dict(params, teacher_encoder)
+    # model_config=cfg emits the frozen positional tables the reference
+    # layout stores (so reference-side strict=False loads can't silently
+    # substitute the wrong table for binaural-trained Nat models)
+    sd = export_jepa_state_dict(params, teacher_encoder, model_config=cfg)
     tensors = {
         k: torch.as_tensor(np.array(v, np.float32))  # np.array copies → writable
         for k, v in sd.items()

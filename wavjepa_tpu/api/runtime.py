@@ -206,23 +206,69 @@ def load_model(
     process_seconds: float = 2.01,
     model_size: str = "base",
     channel_wise: bool = False,
+    pos_embed: Optional[str] = None,
 ) -> RuntimeJEPA:
     """HEAR `load_model`: builds the runtime from an orbax directory, a
     torch .ckpt (reference format, `_orig_mod`-aware), or random init when
-    no path is given."""
+    no path is given.
+
+    The positional table is derived from config, not stored in `params`, so
+    the loader must match what the checkpoint trained with:
+      * orbax dirs written by this framework's trainers carry a
+        model_config.json sidecar — when present (and `config` is None) it
+        is authoritative for the architecture (training-only packing fields
+        stripped, inference dtype bf16);
+      * reference torch checkpoints store the table as a frozen parameter —
+        it is detected (api/convert.detect_pos_embed) when `pos_embed` is
+        not given, falling back to "time" (the reference's training path
+        always builds the 1-D table, wavjepa/jepa.py:163-180);
+      * `pos_embed` overrides both (ignored when `config` is passed).
+    """
+    import dataclasses as _dc
+    from pathlib import Path
+
+    ckpt_blob = None
+    path = Path(model_file_path) if model_file_path else None
+    if config is None and path is not None and path.is_dir():
+        from wavjepa_tpu.train.checkpoint import read_model_config
+
+        sidecar = read_model_config(path)
+        if sidecar is not None:
+            config = _dc.replace(
+                sidecar,
+                pos_embed=pos_embed if pos_embed is not None else sidecar.pos_embed,
+                pack_encoder=None,
+                pack_decoder=None,
+                dtype=jnp.bfloat16,
+            )
+            if process_seconds != 2.01:  # explicit inference-window override
+                config = _dc.replace(config, process_seconds=process_seconds)
+    if config is None and path is not None and path.is_file():
+        from wavjepa_tpu.api.convert import detect_pos_embed, load_torch_checkpoint
+
+        ckpt_blob = load_torch_checkpoint(str(path))
+        if pos_embed is None:
+            probe = JEPAConfig(
+                in_channels=in_channels,
+                extractor="conv_channel" if channel_wise else "conv",
+                process_seconds=process_seconds,
+                size=model_size,
+            )
+            pos_embed = detect_pos_embed(
+                ckpt_blob, probe.encoder_dim, probe.frames_per_window,
+                probe.total_patches,
+            ) or "time"
     if config is None:
         config = JEPAConfig(
             in_channels=in_channels,
             extractor="conv_channel" if channel_wise else "conv",
             process_seconds=process_seconds,
             size=model_size,
+            pos_embed=pos_embed or "time",
             dtype=jnp.bfloat16,
         )
     model = JEPA(config)
     if model_file_path:
-        from pathlib import Path
-
-        path = Path(model_file_path)
         if path.is_dir():  # orbax checkpoint (a TrainState tree or bare params)
             from wavjepa_tpu.train.checkpoint import CheckpointManager
 
@@ -233,7 +279,7 @@ def load_model(
         else:  # torch checkpoint
             from wavjepa_tpu.train.checkpoint import import_torch_jepa
 
-            params, _ = import_torch_jepa(str(path), config)
+            params, _ = import_torch_jepa(str(path), config, ckpt=ckpt_blob)
             # fill any missing (e.g. decoder-free ckpt) params from init
             template = model.init(
                 jax.random.PRNGKey(0),

@@ -176,21 +176,45 @@ def _to_seconds(events: List[dict]) -> List[Tuple[str, float, float]]:
 
 def _max_matching(adj: List[List[int]], n_right: int) -> int:
     """Maximum-cardinality bipartite matching (Kuhn's augmenting paths);
-    cardinality equals sed_eval util.bipartite_match's Hopcroft–Karp."""
+    cardinality equals sed_eval util.bipartite_match's Hopcroft–Karp.
+
+    The augmenting-path DFS is iterative: a recursive walk recurses once per
+    previously-matched vertex along the path, so a densely-annotated file
+    with ~1000+ mutually-matchable same-label events would blow Python's
+    default recursion limit mid-scoring."""
     match_right = [-1] * n_right
 
-    def try_augment(u: int, seen: List[bool]) -> bool:
-        for v in adj[u]:
-            if not seen[v]:
-                seen[v] = True
-                if match_right[v] == -1 or try_augment(match_right[v], seen):
-                    match_right[v] = u
-                    return True
+    def try_augment(root: int) -> bool:
+        seen = [False] * n_right
+        stack = [(root, iter(adj[root]))]
+        via: List[int] = []  # via[d] = right vertex linking frame d to d+1
+        while stack:
+            u, it = stack[-1]
+            step = None  # None → frame exhausted; -1 → descended; ≥0 → free v
+            for v in it:
+                if not seen[v]:
+                    seen[v] = True
+                    if match_right[v] == -1:
+                        step = v
+                    else:
+                        stack.append((match_right[v], iter(adj[match_right[v]])))
+                        via.append(v)
+                        step = -1
+                    break
+            if step is None:
+                stack.pop()
+                if via:
+                    via.pop()
+            elif step >= 0:  # augment: flip matches along the DFS path
+                match_right[step] = u
+                for d in range(len(stack) - 2, -1, -1):
+                    match_right[via[d]] = stack[d][0]
+                return True
         return False
 
     matched = 0
     for u in range(len(adj)):
-        if try_augment(u, [False] * n_right):
+        if try_augment(u):
             matched += 1
     return matched
 

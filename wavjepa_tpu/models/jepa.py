@@ -172,6 +172,36 @@ class JEPAConfig:
         return table.astype(np.float32)[None]  # (1, T, dim)
 
 
+_DTYPE_NAMES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                "float16": jnp.float16}
+
+
+def jepa_config_to_dict(cfg: "JEPAConfig") -> dict:
+    """JSON-serializable dict of a JEPAConfig (see jepa_config_from_dict).
+
+    Written next to checkpoints (run_dir/model_config.json) so that loaders
+    can rebuild the exact architecture — the reference never persists its
+    Hydra config with the weights, which forces every consumer to
+    re-specify extractor/pos-embed settings by hand (and silently corrupts
+    embeddings when they guess wrong, e.g. Nat's positional table)."""
+    d = dataclasses.asdict(cfg)
+    d["conv_spec"] = [list(layer) for layer in cfg.conv_spec]
+    d["dtype"] = np.dtype(cfg.dtype).name
+    return d
+
+
+def jepa_config_from_dict(d: dict) -> "JEPAConfig":
+    """Inverse of jepa_config_to_dict; unknown keys are ignored so configs
+    written by newer versions still load."""
+    fields = {f.name for f in dataclasses.fields(JEPAConfig)}
+    kw = {k: v for k, v in d.items() if k in fields}
+    if "conv_spec" in kw:
+        kw["conv_spec"] = tuple(tuple(layer) for layer in kw["conv_spec"])
+    if "dtype" in kw and isinstance(kw["dtype"], str):
+        kw["dtype"] = _DTYPE_NAMES[kw["dtype"]]
+    return JEPAConfig(**kw)
+
+
 class JEPA(nn.Module):
     """The JEPA model as a flax module.
 

@@ -61,18 +61,63 @@ class CheckpointManager:
         self._mgr.close()
 
 
+MODEL_CONFIG_NAME = "model_config.json"
+
+
+def write_model_config(run_dir: str | Path, model_config) -> Path:
+    """Persist the JEPAConfig next to a run's checkpoints.
+
+    The reference never writes its Hydra model config with the weights, so
+    every loader must re-specify architecture flags by hand — and a wrong
+    guess (e.g. Nat's `pos_embed`) corrupts embeddings silently because the
+    positional table is derived, not stored in `params`. The sidecar makes
+    `api/runtime.load_model(run_dir_or_ckpt)` reconstruct the exact model.
+    """
+    import json
+
+    from wavjepa_tpu.models.jepa import jepa_config_to_dict
+
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    out = run_dir / MODEL_CONFIG_NAME
+    out.write_text(json.dumps(jepa_config_to_dict(model_config), indent=1))
+    return out
+
+
+def read_model_config(path: str | Path):
+    """Find and load a model_config.json sidecar for a checkpoint path.
+
+    Accepts the run dir, its ckpt/ dir, or a specific ckpt/<step> dir and
+    walks up (3 levels) looking for the sidecar. Returns a JEPAConfig or
+    None when no sidecar exists (pre-sidecar checkpoints)."""
+    import json
+
+    from wavjepa_tpu.models.jepa import jepa_config_from_dict
+
+    p = Path(path).absolute()
+    for candidate in (p, *list(p.parents)[:3]):
+        f = candidate / MODEL_CONFIG_NAME
+        if f.is_file():
+            return jepa_config_from_dict(json.loads(f.read_text()))
+    return None
+
+
 def import_torch_jepa(
     path: str,
     model_config,
+    ckpt: Optional[dict] = None,
 ) -> tuple[dict, Optional[dict]]:
     """Load a reference-format torch JEPA checkpoint into flax params.
 
     Returns (params, teacher_encoder_params-or-None), as numpy trees matching
-    models.jepa.JEPA's parameter structure for ``model_config``.
+    models.jepa.JEPA's parameter structure for ``model_config``. Pass a
+    preloaded ``ckpt`` dict to skip re-reading the file (api/runtime.load_model
+    already loads it once for pos-embed detection).
     """
     from wavjepa_tpu.api.convert import convert_jepa_state_dict, load_torch_checkpoint
 
-    ckpt = load_torch_checkpoint(path)
+    if ckpt is None:
+        ckpt = load_torch_checkpoint(path)
     return convert_jepa_state_dict(
         ckpt,
         encoder_layers=model_config.encoder_layers,

@@ -542,11 +542,24 @@ def _optional_base(decl: Any) -> Any:
     return None
 
 
+def _is_optional(decl: Any) -> bool:
+    import typing
+
+    return type(None) in typing.get_args(decl)
+
+
 def _coerce(value: str, current: Any, decl: Any = None) -> Any:
     if value.lower() in ("null", "none"):
         # must precede the bool branch: an Optional[bool] currently holding
-        # True would otherwise coerce "null" to False instead of clearing it
-        return None
+        # True would otherwise coerce "null" to False instead of clearing it.
+        # Only Optional fields (or fields already holding None) may be
+        # cleared — "trainer.steps=null" on a plain int must fail loudly here
+        # rather than surface later as an opaque TypeError on None.
+        if current is None or decl is None or _is_optional(decl):
+            return None
+        raise ValueError(
+            f"cannot set non-Optional field (declared {decl!r}) to {value!r}"
+        )
     if isinstance(current, bool):
         return value.lower() in ("1", "true", "yes")
     if isinstance(current, int) and not isinstance(current, bool):
@@ -589,7 +602,7 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
         leaf_obj, leaf_key = objs[-1], keys[-1]
         current = getattr(leaf_obj, leaf_key)
         decl = None
-        if current is None and dataclasses.is_dataclass(leaf_obj):
+        if dataclasses.is_dataclass(leaf_obj):
             import typing
 
             try:

@@ -24,7 +24,11 @@ from wavjepa_tpu.models.denoiser import (
 )
 from wavjepa_tpu.models.jepa import JEPA
 from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch
-from wavjepa_tpu.train.checkpoint import CheckpointManager, import_torch_jepa
+from wavjepa_tpu.train.checkpoint import (
+    CheckpointManager,
+    import_torch_jepa,
+    write_model_config,
+)
 from wavjepa_tpu.train.config import Config
 from wavjepa_tpu.train.denoise_step import (
     DenoiseOptimizerConfig,
@@ -202,6 +206,7 @@ def train_denoiser(
     )
 
     run_dir = Path(cfg.trainer.save_dir) / ("Denoise-" + cfg.run_identity())
+    write_model_config(run_dir, jcfg)
     ckpt = CheckpointManager(
         run_dir / "ckpt", keep=cfg.trainer.keep_ckpts,
         every=min(cfg.trainer.ckpt_every, 2_500),

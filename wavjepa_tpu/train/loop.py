@@ -20,7 +20,7 @@ import numpy as np
 
 from wavjepa_tpu.models.jepa import JEPA
 from wavjepa_tpu.parallel.mesh import make_mesh, shard_batch
-from wavjepa_tpu.train.checkpoint import CheckpointManager
+from wavjepa_tpu.train.checkpoint import CheckpointManager, write_model_config
 from wavjepa_tpu.train.config import Config
 from wavjepa_tpu.train.state import TrainState
 from wavjepa_tpu.train.step import (
@@ -123,6 +123,7 @@ def train_jepa(
     state = TrainState.create(params, tx)
 
     run_dir = Path(cfg.trainer.save_dir) / cfg.run_identity()
+    write_model_config(run_dir, model_cfg)
     ckpt = CheckpointManager(
         run_dir / "ckpt", keep=cfg.trainer.keep_ckpts, every=cfg.trainer.ckpt_every
     )
