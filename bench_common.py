@@ -12,7 +12,8 @@ ONE canonical home for the two subtleties every bench must get right:
    measurement trap — PERF.md "Measurement traps").
 
 bench_e2e.py keeps its own time-bounded fed loop (a different protocol by
-design) but shares `emit` so the JSON schema stays in one place.
+design) but shares the baseline constant and `emit_record` so the JSON
+schema stays in one place.
 """
 
 from __future__ import annotations
@@ -49,6 +50,25 @@ def time_steps(run_step, iters: int = 20, warmup: int = 2):
     return dt / iters, loss
 
 
+def emit_record(
+    metric: str,
+    clips_per_sec_per_chip: float,
+    baseline: float = BASELINE_CLIPS_PER_SEC_PER_CHIP,
+    **extra,
+) -> dict:
+    """Print the driver-format ONE JSON line (metric/value/unit/vs_baseline
+    core + any extra fields); returns the dict."""
+    record = {
+        "metric": metric,
+        "value": round(clips_per_sec_per_chip, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(clips_per_sec_per_chip / baseline, 3),
+        **extra,
+    }
+    print(json.dumps(record))
+    return record
+
+
 def emit(
     metric: str,
     clips_per_sec_per_chip: float,
@@ -57,18 +77,15 @@ def emit(
     baseline: float = BASELINE_CLIPS_PER_SEC_PER_CHIP,
     **extra,
 ) -> dict:
-    """Print the driver-format ONE JSON line; returns the dict."""
+    """emit_record plus the per-step timing/FLOPs/MFU fields."""
     from wavjepa_tpu.utils.flops import mfu
 
-    record = {
-        "metric": metric,
-        "value": round(clips_per_sec_per_chip, 2),
-        "unit": "clips/s/chip",
-        "vs_baseline": round(clips_per_sec_per_chip / baseline, 3),
-        "step_time_ms": round(1000 * step_seconds, 1),
-        "tflops_per_step": round(step_flops / 1e12, 2),
-        "mfu": round(mfu(step_flops, step_seconds), 4),
+    return emit_record(
+        metric,
+        clips_per_sec_per_chip,
+        baseline,
+        step_time_ms=round(1000 * step_seconds, 1),
+        tflops_per_step=round(step_flops / 1e12, 2),
+        mfu=round(mfu(step_flops, step_seconds), 4),
         **extra,
-    }
-    print(json.dumps(record))
-    return record
+    )

@@ -56,8 +56,9 @@ def main():
     train_cfg = Config()
     train_cfg.trainer.batch_size = batch_clips // n_chips
     train_cfg.data.samples_per_audio = n_crops
-    if os.environ.get("ACCUM"):
+    if "ACCUM" in os.environ:
         train_cfg.trainer.accum_steps = int(os.environ["ACCUM"])
+        train_cfg.explicit_keys.add("trainer.accum_steps")
     accum = train_cfg.resolved_denoise_accum_steps()
     if os.environ.get("REMAT", "1") == "0":
         train_cfg.trainer.remat = False

@@ -21,14 +21,14 @@ Two ingest configs, because they bound the answer from both sides:
 Env knobs: SRC=16k|44k, WORKERS=N (default 2), SECONDS=120, BENCH_CLIPS=32.
 """
 
-import json
 import math
 import os
 import tempfile
 import time
 from pathlib import Path
 
-BASELINE_CLIPS_PER_SEC_PER_CHIP = 50.5
+from bench_common import emit_record
+
 SYNTH_FED_RATE = 64.01  # BENCH r3 (PERF.md) — same step, on-device synthetic batch
 
 
@@ -129,23 +129,17 @@ def main():
     assert math.isfinite(loss), f"non-finite loss {loss}"
     clips_per_sec = batch_clips * iters / dt
     value = clips_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": f"e2e_fed_clips_per_sec_per_chip_{src}",
-                "value": round(value, 2),
-                "unit": "clips/s/chip",
-                "vs_baseline": round(value / BASELINE_CLIPS_PER_SEC_PER_CHIP, 3),
-                "fed_fraction_of_synthetic": round(value / SYNTH_FED_RATE, 3),
-                "host_ingest_clips_per_sec": round(host_rate, 1),
-                "workers": n_workers,
-                "run_seconds": round(dt, 1),
-                "steps": iters,
-                "cores_per_chip_to_saturate": round(
-                    SYNTH_FED_RATE / max(host_rate / max(n_workers, 1), 1e-9) , 2
-                ) if src == "44k" else 1,
-            }
-        )
+    emit_record(
+        f"e2e_fed_clips_per_sec_per_chip_{src}",
+        value,
+        fed_fraction_of_synthetic=round(value / SYNTH_FED_RATE, 3),
+        host_ingest_clips_per_sec=round(host_rate, 1),
+        workers=n_workers,
+        run_seconds=round(dt, 1),
+        steps=iters,
+        cores_per_chip_to_saturate=round(
+            SYNTH_FED_RATE / max(host_rate / max(n_workers, 1), 1e-9), 2
+        ) if src == "44k" else 1,
     )
 
 

@@ -149,6 +149,14 @@ def test_sidecar_makes_load_model_reconstruct_nat_config(tmp_path):
     rt = load_model(str(run_dir / "ckpt"), pos_embed="time")
     assert rt.config.pos_embed == "time"
 
+    # explicit process_seconds overrides the sidecar — INCLUDING the
+    # HEAR-standard 2.01 (None is the "trained window" sentinel, so an
+    # explicit 2.01 must not be mistaken for "no override")
+    rt = load_model(str(run_dir / "ckpt"), process_seconds=2.01)
+    assert rt.config.process_seconds == 2.01
+    rt = load_model(str(run_dir / "ckpt"))
+    assert rt.config.process_seconds == TINY_NAT.process_seconds
+
     # embeddings actually flow with the binaural table
     rt = load_model(str(run_dir / "ckpt"))
     clip = np.random.default_rng(0).standard_normal(

@@ -18,10 +18,10 @@ def load_model(model_file_path: str = "", in_channels: int = 2, **kwargs):
     # pos_embed: sidecar/ckpt-detected when None (runtime.load_model) —
     # configs/nat_binaural.yaml trains with "binaural", the reference's
     # published nat weights use "time"; both resolve correctly without it.
+    # process_seconds stays None: sidecar-trained window wins, else 2.01 s.
     return _runtime.load_model(
         model_file_path,
         in_channels=in_channels,
-        process_seconds=2.01,
         model_size=kwargs.get("model_size", "base"),
         channel_wise=True,
         pos_embed=kwargs.get("pos_embed"),

@@ -14,9 +14,10 @@ from wavjepa_tpu.api import runtime as _runtime
 
 
 def load_model(model_file_path: str = "", **kwargs):
+    # process_seconds stays None: a model_config.json sidecar (trained
+    # window) wins; the no-sidecar fallback is the HEAR-standard 2.01 s.
     return _runtime.load_model(
         model_file_path,
         in_channels=1,
-        process_seconds=2.01,
         model_size=kwargs.get("model_size", "base"),
     )

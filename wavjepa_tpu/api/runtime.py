@@ -203,7 +203,7 @@ def load_model(
     model_file_path: str = "",
     config: Optional[JEPAConfig] = None,
     in_channels: int = 1,
-    process_seconds: float = 2.01,
+    process_seconds: Optional[float] = None,
     model_size: str = "base",
     channel_wise: bool = False,
     pos_embed: Optional[str] = None,
@@ -223,6 +223,10 @@ def load_model(
         not given, falling back to "time" (the reference's training path
         always builds the 1-D table, wavjepa/jepa.py:163-180);
       * `pos_embed` overrides both (ignored when `config` is passed).
+
+    ``process_seconds=None`` (the default) means "whatever the checkpoint
+    trained with" (sidecar value, else the HEAR-standard 2.01 s); an
+    explicit value — including 2.01 — always wins over the sidecar.
     """
     import dataclasses as _dc
     from pathlib import Path
@@ -241,8 +245,9 @@ def load_model(
                 pack_decoder=None,
                 dtype=jnp.bfloat16,
             )
-            if process_seconds != 2.01:  # explicit inference-window override
+            if process_seconds is not None:  # explicit inference-window override
                 config = _dc.replace(config, process_seconds=process_seconds)
+    window_s = 2.01 if process_seconds is None else process_seconds
     if config is None and path is not None and path.is_file():
         from wavjepa_tpu.api.convert import detect_pos_embed, load_torch_checkpoint
 
@@ -251,7 +256,7 @@ def load_model(
             probe = JEPAConfig(
                 in_channels=in_channels,
                 extractor="conv_channel" if channel_wise else "conv",
-                process_seconds=process_seconds,
+                process_seconds=window_s,
                 size=model_size,
             )
             pos_embed = detect_pos_embed(
@@ -262,7 +267,7 @@ def load_model(
         config = JEPAConfig(
             in_channels=in_channels,
             extractor="conv_channel" if channel_wise else "conv",
-            process_seconds=process_seconds,
+            process_seconds=window_s,
             size=model_size,
             pos_embed=pos_embed or "time",
             dtype=jnp.bfloat16,

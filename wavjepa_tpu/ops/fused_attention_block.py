@@ -198,13 +198,13 @@ def _fwd(x, wqkv, bqkv, wo, bo, mask, interpret):
         out_shape=jax.ShapeDtypeStruct((b, t, d), x.dtype),
         interpret=interpret,
     )(x, wqkv, bqkv, wo, bo, mask[:, None, :])
-    return out, (x, wqkv, bqkv, wo, mask)
+    return out, (x, wqkv, bqkv, wo, bo, mask)
 
 
 def _bwd(interpret, residuals, g):
     from jax.experimental import pallas as pl
 
-    x, wqkv, bqkv, wo, mask = residuals
+    x, wqkv, bqkv, wo, bo, mask = residuals
     b, t, d = x.shape
     heads, _, hd3 = wqkv.shape
     hd = hd3 // 3
@@ -233,7 +233,7 @@ def _bwd(interpret, residuals, g):
         dwqkv.astype(wqkv.dtype),
         dbqkv.astype(bqkv.dtype),
         dwo.astype(wo.dtype),
-        dbo.astype(jnp.float32),
+        dbo.astype(bo.dtype),
         None,
     )
 

@@ -37,14 +37,10 @@ def transformer_layer_flops(t: int, d: int, ff: int) -> int:
     return proj + out + attn + mlp
 
 
-def jepa_forward_flops(cfg, n_targets: int = 4) -> dict:
-    """Per-crop forward FLOPs by component for a JEPAConfig-like object.
-
-    Honors visible-token packing (pack_encoder/pack_decoder): FLOPs count
-    the work actually executed, so packed runs don't report inflated MFU."""
+def encoder_path_flops(cfg) -> tuple[int, int, int]:
+    """Per-crop (conv, mapper, full-length encoder) forward FLOPs — the
+    encoder path shared by the SSL student/teacher and the denoise views."""
     t = cfg.total_patches
-    pe = getattr(cfg, "pack_encoder", None) or t
-    pd = getattr(cfg, "pack_decoder", None) or t
     if getattr(cfg, "extractor", "conv") == "conv_channel":
         # per-channel CNN stacks: each channel runs the full spec on 1 input
         # channel (shared-weights variants execute the same FLOPs)
@@ -57,6 +53,18 @@ def jepa_forward_flops(cfg, n_targets: int = 4) -> dict:
     enc_full = cfg.encoder_layers * transformer_layer_flops(
         t, cfg.encoder_dim, int(cfg.encoder_dim * cfg.mlp_ratio)
     )
+    return conv, mapper, enc_full
+
+
+def jepa_forward_flops(cfg, n_targets: int = 4) -> dict:
+    """Per-crop forward FLOPs by component for a JEPAConfig-like object.
+
+    Honors visible-token packing (pack_encoder/pack_decoder): FLOPs count
+    the work actually executed, so packed runs don't report inflated MFU."""
+    t = cfg.total_patches
+    pe = getattr(cfg, "pack_encoder", None) or t
+    pd = getattr(cfg, "pack_decoder", None) or t
+    conv, mapper, enc_full = encoder_path_flops(cfg)
     enc_student = cfg.encoder_layers * transformer_layer_flops(
         pe, cfg.encoder_dim, int(cfg.encoder_dim * cfg.mlp_ratio)
     )
@@ -91,15 +99,7 @@ def denoise_step_flops(
     the dead view's backward is pruned by the stop_gradient optimization in
     denoise_step.py, so it counts forward-only. Scene FFTs / resampling are
     elementwise-ish and excluded by the matmul-only convention."""
-    t = cfg.total_patches
-    if getattr(cfg, "extractor", "conv") == "conv_channel":
-        conv = cfg.in_channels * conv_frontend_flops(cfg.conv_spec, cfg.target_length, 1)
-    else:
-        conv = conv_frontend_flops(cfg.conv_spec, cfg.target_length, cfg.in_channels)
-    mapper = 2 * t * cfg.embedding_dim * cfg.encoder_dim
-    enc = cfg.encoder_layers * transformer_layer_flops(
-        t, cfg.encoder_dim, int(cfg.encoder_dim * cfg.mlp_ratio)
-    )
+    conv, mapper, enc = encoder_path_flops(cfg)
     fwd = conv + mapper + enc
     if alpha is not None and float(alpha) in (0.0, 1.0):
         # dead view fwd-only (or skipped entirely when it is the clean view
