@@ -138,9 +138,17 @@ def main():
         run_seconds=round(dt, 1),
         steps=iters,
         cores_per_chip_to_saturate=round(
-            SYNTH_FED_RATE / max(host_rate / max(n_workers, 1), 1e-9), 2
+            SYNTH_FED_RATE / max(host_rate / _cores_used(n_workers), 1e-9), 2
         ) if src == "44k" else 1,
     )
+
+
+def _cores_used(n_workers: int) -> int:
+    """Workers time-share the host: the probe's host_rate is delivered by
+    min(n_workers, physical cores) cores, so per-core ingest is
+    host_rate / cores_used (NOT / n_workers — on a 1-core VM two workers
+    still only consume one core's worth of CPU)."""
+    return max(1, min(n_workers, os.cpu_count() or 1))
 
 
 if __name__ == "__main__":
