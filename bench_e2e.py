@@ -18,7 +18,10 @@ Two ingest configs, because they bound the answer from both sides:
     (reference analog: 16 DataLoader workers/GPU,
     /root/reference/data_modules/WebAudioDataModule.py:133-142).
 
-Env knobs: SRC=16k|44k, WORKERS=N (default 2), SECONDS=120, BENCH_CLIPS=32.
+Env knobs: SRC=16k|44k, WORKERS=N (default 2), SECONDS=120, BENCH_CLIPS=32,
+WIRE=int16|f32 (default int16 — the shipped config; f32 reproduces the
+round-4 transfer-bound measurement: the axon host→device link sustains
+~40 MB/s, so a 32-clip f32 batch costs ~490 ms ≈ one whole train step).
 """
 
 import math
@@ -54,6 +57,8 @@ def main():
     sr = 44100 if src == "44k" else 16000
     n_workers = int(os.environ.get("WORKERS", "2"))
     run_seconds = float(os.environ.get("SECONDS", "120"))
+    wire = os.environ.get("WIRE", "int16")
+    transfer_dtype = "int16" if wire == "int16" else "float32"
 
     n_chips = len(jax.devices())
     mesh = make_mesh(n_chips)
@@ -86,6 +91,7 @@ def main():
             num_workers=n_workers,
             queue_size=256,
             seed=0,
+            transfer_dtype=transfer_dtype,
         ).start()
         try:
             # host-only ingest probe first (clips/s at this worker count,
@@ -134,6 +140,7 @@ def main():
         value,
         fed_fraction_of_synthetic=round(value / SYNTH_FED_RATE, 3),
         host_ingest_clips_per_sec=round(host_rate, 1),
+        wire=wire,
         workers=n_workers,
         run_seconds=round(dt, 1),
         steps=iters,
@@ -145,10 +152,16 @@ def main():
 
 def _cores_used(n_workers: int) -> int:
     """Workers time-share the host: the probe's host_rate is delivered by
-    min(n_workers, physical cores) cores, so per-core ingest is
+    min(n_workers, available cores) cores, so per-core ingest is
     host_rate / cores_used (NOT / n_workers — on a 1-core VM two workers
-    still only consume one core's worth of CPU)."""
-    return max(1, min(n_workers, os.cpu_count() or 1))
+    still only consume one core's worth of CPU). "Available" respects the
+    scheduler affinity mask (cgroup/container limits), not the machine's
+    logical CPU count (ADVICE r3)."""
+    try:
+        n_cores = len(os.sched_getaffinity(0))
+    except (AttributeError, OSError):
+        n_cores = os.cpu_count() or 1
+    return max(1, min(n_workers, n_cores))
 
 
 if __name__ == "__main__":

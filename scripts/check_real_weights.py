@@ -25,6 +25,12 @@ What it does (mirrors /root/reference/README.md:72-108 consumption):
 Exit 0 = parity. With --ckpt (a local reference-format .ckpt) the script
 instead exercises the torch→JAX import path and checks shapes/finiteness —
 useful offline.
+
+With --dump-fixtures (default dir tests/fixtures/golden) the run ALSO
+writes a golden-vector .npz — converted params + the seeded input's
+reference embeddings — so ONE networked run creates a permanent offline
+regression asset: tests/test_golden_fixtures.py replays the runtime against
+the stored published-model outputs forever after (auto-skips when absent).
 """
 
 from __future__ import annotations
@@ -45,6 +51,14 @@ def main() -> int:
     ap.add_argument("--ckpt", default=None, help="local reference .ckpt instead of the Hub")
     ap.add_argument("--rtol", type=float, default=2e-3)
     ap.add_argument("--atol", type=float, default=2e-3)
+    ap.add_argument(
+        "--dump-fixtures",
+        nargs="?",
+        const=str(Path(__file__).resolve().parent.parent / "tests/fixtures/golden"),
+        default=None,
+        help="write a golden-vector .npz (converted params + reference "
+        "embeddings) for offline replay by tests/test_golden_fixtures.py",
+    )
     args = ap.parse_args()
 
     import jax
@@ -108,6 +122,37 @@ def main() -> int:
     rt = RuntimeJEPA(cfg, params)
     emb, _ts = rt.get_timestamp_embeddings(audio)
     emb = np.asarray(emb)
+
+    if args.dump_fixtures:
+        from wavjepa_tpu.api.convert import flatten_params_dict
+
+        out_dir = Path(args.dump_fixtures)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        name = repo.rsplit("/", 1)[-1]
+        fixture = out_dir / f"{name}.npz"
+        np.savez_compressed(
+            fixture,
+            __meta_repo=np.asarray(repo),
+            __meta_channels=np.asarray(channels),
+            __meta_pos_embed=np.asarray(cfg.pos_embed),
+            __meta_audio_seed=np.asarray(0),
+            __meta_conv_spec=np.asarray(cfg.conv_spec, np.int64),
+            __meta_encoder=np.asarray(
+                [cfg.encoder_layers, cfg.encoder_dim, cfg.encoder_heads], np.int64
+            ),
+            __meta_input=np.asarray(
+                [cfg.sample_rate, int(round(cfg.process_seconds * 1000))], np.int64
+            ),
+            __ref_embeddings=ref_emb.astype(np.float32),
+            __our_embeddings=emb.astype(np.float32),
+            __ref_timestamps=np.asarray(_ts, np.float64),
+            **{
+                f"param:{k}": v
+                for k, v in flatten_params_dict(params).items()
+            },
+        )
+        print(f"golden fixture written: {fixture} "
+              f"({fixture.stat().st_size / 1e6:.1f} MB)")
 
     d = np.abs(emb - ref_emb)
     print(f"embeddings {emb.shape} vs reference {ref_emb.shape}: "

@@ -207,6 +207,37 @@ class TestDataParallel:
         )
 
 
+class TestInt16Wire:
+    def test_int16_wire_matches_float32(self):
+        """The int16 host→device wire format (data/pipeline.quantize_clip_int16)
+        must train identically to the f32 path: the per-clip peak gain is
+        removed exactly by the step's per-crop instance norm, leaving only
+        −96 dBFS quantization noise (far below the crops' own bf16 cast)."""
+        from wavjepa_tpu.data.pipeline import quantize_clip_int16
+
+        _, state, step, audio = build(batch=4)
+        a32 = np.asarray(audio)
+        a16 = np.stack([quantize_clip_int16(clip) for clip in a32])
+        assert a16.dtype == np.int16
+        rng = jax.random.PRNGKey(7)
+        _, m32 = step(state, jnp.asarray(a32), rng)
+        _, m16 = step(state, jnp.asarray(a16), rng)
+        np.testing.assert_allclose(
+            float(m16["loss"]), float(m32["loss"]), rtol=2e-3
+        )
+
+    def test_quantize_scale_invariance(self):
+        """quantize_clip_int16(g·x) == quantize_clip_int16(x) for any g>0 —
+        the wire format is invariant to the host RMS normalization gain."""
+        from wavjepa_tpu.data.pipeline import quantize_clip_int16
+
+        x = np.random.default_rng(0).standard_normal((1, 500)).astype(np.float32)
+        np.testing.assert_array_equal(
+            quantize_clip_int16(x), quantize_clip_int16(x * 3.7)
+        )
+        assert quantize_clip_int16(np.zeros((1, 8), np.float32)).dtype == np.int16
+
+
 class TestNatSceneStep:
     def test_nat_scene_train_step(self):
         """WavJEPA-Nat: on-device binaural scene synthesis feeds the JEPA

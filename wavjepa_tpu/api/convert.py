@@ -316,3 +316,28 @@ def export_jepa_state_dict(params: Mapping, teacher_encoder=None,
     if teacher_encoder is not None:
         export_transformer_encoder(teacher_encoder, "teacher_encoder", out)
     return out
+
+
+def flatten_params_dict(params: Mapping, prefix: str = "") -> dict[str, np.ndarray]:
+    """Nested param dict → flat {'a/b/c': array} mapping (npz-friendly; used
+    by scripts/check_real_weights.py golden fixtures)."""
+    out: dict[str, np.ndarray] = {}
+    for key, value in params.items():
+        path = f"{prefix}/{key}" if prefix else str(key)
+        if isinstance(value, Mapping):
+            out.update(flatten_params_dict(value, path))
+        else:
+            out[path] = np.asarray(value)
+    return out
+
+
+def unflatten_params_dict(flat: Mapping[str, np.ndarray]) -> dict:
+    """Inverse of flatten_params_dict."""
+    out: dict = {}
+    for path, value in flat.items():
+        node = out
+        parts = path.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = np.asarray(value)
+    return out

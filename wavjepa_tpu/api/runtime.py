@@ -72,6 +72,16 @@ class RuntimeJEPA:
     ):
         self.config = config
         self.model = JEPA(config)
+        if isinstance(params, dict) and "mask_token" not in params:
+            # decoder-free inference tree (e.g. convert_jepa_state_dict
+            # with_decoder=False): flax setup still materializes the decoder
+            # params — fill the missing subtrees from init (they are never
+            # used by `represent`)
+            template = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, config.in_channels, config.target_length)),
+            )["params"]
+            params = {**template, **params}
         self.params = jax.device_put(params)
         self.sample_rate = config.sample_rate
         self.embedding_size = config.encoder_dim

@@ -58,8 +58,27 @@ def preprocess_clip(
     return wav.astype(np.float32)
 
 
+def quantize_clip_int16(clip: np.ndarray) -> np.ndarray:
+    """Peak-normalize and quantize a preprocessed clip to int16 for the
+    host→device wire (4× fewer bytes than f32).
+
+    Exactness: the train step instance-normalizes every crop over (C, T)
+    (train/step.py), which removes any per-clip scalar gain — so the peak
+    gain applied here is mathematically invisible, and the residual is pure
+    int16 quantization noise at −96 dBFS, 48 dB BELOW the bf16 cast the
+    reference itself applies to crops (jepa.py:275-316 precision='bf16').
+    Measured motivation: the axon host→device path sustains ~40 MB/s, so a
+    32-clip f32 batch costs ~490 ms — as long as the whole 500 ms train
+    step (PERF.md round 4)."""
+    peak = float(np.max(np.abs(clip))) if clip.size else 0.0
+    if peak <= 0:
+        return np.zeros(clip.shape, np.int16)
+    return np.round(clip * (32767.0 / peak)).astype(np.int16)
+
+
 def _audio_worker(
-    shards, target_sr, target_seconds, seed, out_queue, stop_event
+    shards, target_sr, target_seconds, seed, out_queue, stop_event,
+    transfer_dtype="float32",
 ):
     """Top-level worker body (picklable for the spawn mp context):
     decode → resample → normalize → pad/trim → enqueue."""
@@ -76,6 +95,8 @@ def _audio_worker(
             if sr_in is not None and sr_in != target_sr:
                 wav = resample_np(wav, sr_in, target_sr)
             clip = preprocess_clip(wav, target_sr, target_seconds)
+            if transfer_dtype == "int16":
+                clip = quantize_clip_int16(clip)
         except Exception as exc:  # warn_and_continue
             print(f"[data] skipping sample {key}: {exc}", flush=True)
             continue
@@ -102,12 +123,15 @@ class ShardAudioSource:
         num_hosts: int = 1,
         seed: int = 0,
         backend: str = "process",  # "process" | "thread"
+        transfer_dtype: str = "float32",  # "float32" | "int16" (see
+        # quantize_clip_int16 — exact under the step's per-crop instance norm)
     ):
         if isinstance(patterns, str):
             patterns = [patterns]
         self.sources = [expand_shard_pattern(p) for p in patterns]
         self.target_sr = target_sr
         self.target_seconds = target_seconds
+        self.transfer_dtype = transfer_dtype
         self.backend = backend
         if backend == "process":
             # spawn, not fork: the training drivers initialize JAX (which is
@@ -145,6 +169,7 @@ class ShardAudioSource:
                 args = (
                     shards, self.target_sr, self.target_seconds,
                     self.seed + wid, self.queue, self._stop,
+                    self.transfer_dtype,
                 )
                 if backend == "process":
                     t = self._ctx.Process(target=_audio_worker, args=args, daemon=True)
@@ -199,7 +224,8 @@ def shuffled_batches(
 
 
 def audio_shard_batches(cfg) -> Iterator[np.ndarray]:
-    """Config-driven SSL input pipeline → (B, 1, sr·10) f32 batches."""
+    """Config-driven SSL input pipeline → (B, 1, sr·10) batches
+    (f32, or int16 wire format when cfg.data.transfer_dtype='int16')."""
     import jax
 
     source = ShardAudioSource(
@@ -211,6 +237,7 @@ def audio_shard_batches(cfg) -> Iterator[np.ndarray]:
         host_id=jax.process_index(),
         num_hosts=jax.process_count(),
         seed=cfg.trainer.seed,
+        transfer_dtype=getattr(cfg.data, "transfer_dtype", "float32"),
     ).start()
     return shuffled_batches(
         iter(source),

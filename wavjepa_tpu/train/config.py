@@ -52,6 +52,11 @@ class DataConfig:
     num_workers: int = 16
     shuffle_buffer: int = 1000
     prefetch: int = 2
+    # host→device wire format for SSL clip batches: int16 quarters the
+    # transfer bytes and is exact under the step's per-crop instance norm
+    # (data/pipeline.quantize_clip_int16; measured: the f32 batch transfer
+    # alone cost a full step time on the 40 MB/s axon link, PERF.md r4)
+    transfer_dtype: str = "int16"
     synthetic: bool = False  # random-audio source for smoke tests/benchmarks
 
 

@@ -198,6 +198,12 @@ def make_jepa_train_step(
             )  # (B, C, T_orig)
             if scene_cfg.original_sr != cfg.sample_rate:
                 audio = resample_jax(audio, scene_cfg.original_sr, cfg.sample_rate)
+        if jnp.issubdtype(audio.dtype, jnp.integer):
+            # int16 wire format (data/pipeline.quantize_clip_int16): 4× less
+            # host→device traffic; cast on device. The 1/32767 rescale keeps
+            # pre-norm magnitudes comparable and is itself removed by the
+            # per-crop instance norm below.
+            audio = audio.astype(jnp.float32) * (1.0 / 32767.0)
         if audio.ndim == 2:
             audio = audio[:, None, :]
         crops = random_crops(k_crop, audio, crop_len, nr_samples_per_audio)
