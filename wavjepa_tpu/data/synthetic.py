@@ -19,10 +19,17 @@ def synthetic_audio_batches(
     seconds: float = 10.0,
     sr: int = 16000,
     seed: int = 0,
+    start_batch: int = 0,
 ) -> Iterator[np.ndarray]:
-    rng = np.random.default_rng(seed)
+    """Batch i is a pure function of (seed, i) — keyed per index rather than
+    RNG-sequential — so a resumed run can rebuild the exact stream position
+    in O(1) via ``start_batch`` (train/loop.py resume; the reference cannot
+    resume its SSL path at all, train.py)."""
     length = int(seconds * sr)
+    i = start_batch
     while True:
+        rng = np.random.default_rng((seed, i))
+        i += 1
         # draw f32 directly: float64 generation is pathologically slow on
         # some hosts (measured ~70x; it made TPU smoke runs host-bound)
         white = rng.standard_normal(

@@ -84,7 +84,9 @@ class JEPAConfig:
     decoder_heads: int = 12
     mlp_ratio: float = 4.0
     layer_norm_eps: float = 1e-6
-    size: str = "base"  # "large" rewrites encoder to 24L/1024d/16h (jepa.py:114-118)
+    size: str = "base"  # "large" rewrites encoder to 24L/1024d/16h
+    # (jepa.py:114-118); "tiny" (beyond reference) rewrites encoder+decoder
+    # to a seconds-per-step CPU model for smoke runs and loop-level tests
     # input contract
     sample_rate: int = 16000
     process_seconds: float = 2.01
@@ -142,6 +144,13 @@ class JEPAConfig:
             object.__setattr__(self, "encoder_layers", 24)
             object.__setattr__(self, "encoder_dim", 1024)
             object.__setattr__(self, "encoder_heads", 16)
+        elif self.size == "tiny":
+            object.__setattr__(self, "encoder_layers", 2)
+            object.__setattr__(self, "encoder_dim", 32)
+            object.__setattr__(self, "encoder_heads", 4)
+            object.__setattr__(self, "decoder_layers", 2)
+            object.__setattr__(self, "decoder_dim", 16)
+            object.__setattr__(self, "decoder_heads", 4)
 
     @property
     def target_length(self) -> int:

@@ -31,7 +31,13 @@ from wavjepa_tpu.train.step import (
 from wavjepa_tpu.utils.metrics import MetricLogger, Throughput
 
 
-def build_data_iterator(cfg: Config) -> Iterator[np.ndarray]:
+def build_data_iterator(cfg: Config, start_step: int = 0) -> Iterator[np.ndarray]:
+    """``start_step`` positions a resumable stream at the batch a resumed
+    run will consume next. The synthetic source rebuilds its exact position
+    in O(1) (per-index keying); the shard pipeline intentionally does NOT
+    fast-forward — it is a stochastic infinite stream with no meaningful
+    position (the reference's wds .repeat()+shuffle semantics), and skipping
+    N·batch real decodes would stall a deep resume for hours."""
     if cfg.data.nat_scenes:
         # Nat: raw (audio, RIRs, noise, SNR) batches; scenes synthesize on
         # device inside the step (train/step.py NatSceneConfig)
@@ -50,6 +56,7 @@ def build_data_iterator(cfg: Config) -> Iterator[np.ndarray]:
             seconds=cfg.data.target_seconds,
             sr=cfg.data.sr,
             seed=cfg.trainer.seed,
+            start_batch=start_step,
         )
     from wavjepa_tpu.data.pipeline import audio_shard_batches
 
@@ -57,25 +64,71 @@ def build_data_iterator(cfg: Config) -> Iterator[np.ndarray]:
 
 
 def prefetch_to_device(iterator, mesh, size: int = 2):
-    """Double-buffered host→device prefetch: `device_put` the next batch(es)
-    while the current step runs, so the transfer overlaps compute instead of
-    serializing with it (the JAX analog of the reference DataLoader's
-    pin_memory+prefetch_factor, WebAudioDataModule.py:133-142)."""
-    import collections
+    """Threaded host→device prefetch: a background thread pulls host batches
+    and issues `device_put`s into a bounded buffer while the current step
+    runs (the JAX analog of the reference DataLoader's pin_memory+
+    prefetch_factor, WebAudioDataModule.py:133-142).
 
-    buf = collections.deque()
+    A THREAD, not just a deque: device_put's issue-side cost (host staging
+    copy + transfer setup — ~17 ms per int16 batch, more on the tunneled
+    axon link) plus the iterator's own batch assembly (np.stack, shuffle
+    evictions) would otherwise run serialized between steps on the training
+    thread — measured 45 ms/step of the round-4 e2e gap."""
+    import queue as _queue
+    import threading
 
     def put(batch):
         if isinstance(batch, dict):
             return {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
         return shard_batch(mesh, jnp.asarray(batch))
 
-    for batch in iterator:
-        buf.append(put(batch))
-        if len(buf) >= size:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    buf: _queue.Queue = _queue.Queue(maxsize=max(1, size))
+    _SENTINEL = object()
+    error: list = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Blocking put that aborts when the consumer is gone (a finished
+        train loop closes this generator mid-stream; without the stop check
+        the producer would block on the full queue forever, leaking a thread
+        and the device buffers parked in it)."""
+        while not stop.is_set():
+            try:
+                buf.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                continue
+        return False
+
+    def producer():
+        try:
+            for batch in iterator:
+                if not _put(put(batch)):
+                    return
+        except BaseException as exc:  # re-raised on the consumer side
+            error.append(exc)
+        finally:
+            _put(_SENTINEL)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = buf.get()
+            if item is _SENTINEL:
+                if error:
+                    raise error[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while not buf.empty():  # unblock a producer mid-put
+            try:
+                buf.get_nowait()
+            except _queue.Empty:
+                break
+        thread.join(timeout=1.0)  # may still be inside iterator.next();
+        # daemon thread, the owning source's stop() handles that side
 
 
 def train_jepa(
@@ -132,7 +185,14 @@ def train_jepa(
         print(f"resumed from step {int(state.step)}", flush=True)
 
     logger = MetricLogger(str(run_dir / "tb"))
-    data_iter = data_iter if data_iter is not None else build_data_iterator(cfg)
+    # built AFTER restore so a resumable stream starts at the right batch
+    # (resume-equivalence: train N == train k, restore, train N−k; callers
+    # passing data_iter position it themselves)
+    data_iter = (
+        data_iter
+        if data_iter is not None
+        else build_data_iterator(cfg, start_step=int(state.step))
+    )
     total = max_steps if max_steps is not None else cfg.trainer.steps
     clips_per_step = cfg.trainer.batch_size * cfg.data.samples_per_audio
     throughput = Throughput(clips_per_step, n_chips)
