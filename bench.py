@@ -63,6 +63,10 @@ def main():
     if "ACCUM" in os.environ:
         train_cfg.trainer.accum_steps = int(os.environ["ACCUM"])
         train_cfg.explicit_keys.add("trainer.accum_steps")
+    # SIZE=large benches the 329 M variant (24L/1024d encoder) for the
+    # accum-heuristic sweeps off the base-model measured point
+    if "SIZE" in os.environ:
+        train_cfg.trainer.size = os.environ["SIZE"]
     cfg = train_cfg.build_model_config()
     model = JEPA(cfg)
     params = model.init(
