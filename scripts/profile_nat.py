@@ -1,0 +1,120 @@
+"""Nat step phase breakdown (VERDICT r3 #3): time each phase of the 32-clip
+binaural Nat step with hoist-proof chained loops (perturb input with a
+scalar from the previous output), closed by host fetches."""
+import sys; sys.path.insert(0, "/root/repo")
+import time
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wavjepa_tpu.models.jepa import JEPA
+from wavjepa_tpu.train.config import load_config
+from wavjepa_tpu.train.denoise_loop import synthetic_denoise_batches
+from wavjepa_tpu.train.state import TrainState
+from wavjepa_tpu.train.step import (
+    NatSceneConfig, make_jepa_train_step, make_optimizer,
+)
+from wavjepa_tpu.ops.scenes import generate_scene
+from wavjepa_tpu.data.resample import resample_jax
+from wavjepa_tpu.ops.audio import instance_normalize, random_crops
+
+cfg = load_config("configs/nat_binaural.yaml")
+B = 32
+cfg.trainer.batch_size = B
+model_cfg = cfg.build_model_config()
+model = JEPA(model_cfg)
+params = model.init(
+    jax.random.PRNGKey(0), jnp.zeros((1, 2, model_cfg.target_length))
+)["params"]
+tx, sched = make_optimizer(cfg.optimizer)
+state = TrainState.create(params, tx)
+masker_fn, masker_cfg = cfg.masker.build()
+scene_cfg = NatSceneConfig(with_rir=True, with_noise=True, n_channels=2)
+accum = cfg.resolved_accum_steps()
+print("accum:", accum, "pack:", model_cfg.pack_encoder, model_cfg.pack_decoder,
+      "remat c/e/d:", model_cfg.remat_conv, model_cfg.remat_encoder, model_cfg.remat_decoder)
+
+batch = next(synthetic_denoise_batches(
+    B, scene_len=int(32000 * 10.0), rir_len=64000, n_channels=2, seed=0))
+batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+def timeit(name, fn, args, iters=8):
+    """fn(carry_scalar, *args) -> array; chained via carry to defeat LICM."""
+    jfn = jax.jit(fn)
+    out = jfn(jnp.float32(0), *args)
+    float(jnp.sum(out))  # warm + close
+    t0 = time.perf_counter()
+    carry = jnp.float32(0)
+    for _ in range(iters):
+        out = jfn(carry, *args)
+        carry = jnp.real(jnp.ravel(out)[0]).astype(jnp.float32) * 1e-20
+    s = float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"{name:34s} {dt*1e3:8.1f} ms")
+    return dt
+
+# 1. scene synthesis at 32k
+def scene_fn(c, b):
+    return generate_scene(
+        b["audio"] + c, b["source_rir"], b["noise"], b["noise_rirs"],
+        b["noise_start"], b["noise_length"], b["snr"],
+        with_rir=True, with_noise=True, n_channels=2)
+t_scene = timeit("scene fftconvolve+mix @32k", scene_fn, (batch,))
+
+# 2. resample 32k->16k of the (B,2,320k) scene
+scene_out = jax.jit(lambda b: scene_fn(jnp.float32(0), b))(batch)
+t_rs = timeit("resample 32k->16k (B,2,320k)", lambda c, x: resample_jax(x + c, 32000, 16000), (scene_out,))
+
+# 3. crops + instance norm + cast
+audio16 = jax.jit(lambda x: resample_jax(x, 32000, 16000))(scene_out)
+def crop_fn(c, x):
+    crops = random_crops(jax.random.PRNGKey(0), x + c, model_cfg.target_length, 8)
+    crops = instance_normalize(crops, axis=(-2, -1))
+    b, s, ch, l = crops.shape
+    return crops.reshape(b * s, ch, l).astype(model_cfg.dtype)
+t_crop = timeit("crops+norm+cast", crop_fn, (audio16,))
+
+crops = jax.jit(lambda x: crop_fn(jnp.float32(0), x))(audio16)
+print("crops shape:", crops.shape)
+
+# 4. conv frontend fwd (per-channel CNN) on one microbatch and full batch.
+# Params are jit ARGUMENTS, not closures (closures inline the 111M tree as
+# HLO constants -> remote AOT helper HTTP 413).
+mb = crops.shape[0] // accum
+def conv_fn(c, p, x):
+    return model.apply({"params": p}, x + c, method=lambda m, x: m.extract_audio(x))
+try:
+    t_conv_mb = timeit(f"conv frontend fwd (mb={mb})", conv_fn, (params, crops[:mb]))
+except Exception as e:
+    print("conv fwd phase unavailable:", e)
+
+# 5. student full fwd (encode+student) per microbatch via loss fn? use encode_features
+def enc_fn(c, p, x):
+    return model.apply({"params": p}, x + c, method="encode_features")
+t_enc_mb = timeit(f"encode_features fwd (mb={mb})", enc_fn, (params, crops[:mb]))
+
+# 6. teacher fwd per microbatch
+feats = jax.jit(lambda p, x: enc_fn(jnp.float32(0), p, x))(params, crops[:mb])
+def teacher_fn(c, p, teacher, f):
+    tp = dict(p); tp["encoder"] = teacher
+    return model.apply({"params": tp}, f + c, method="teacher_forward")
+t_teach_mb = timeit(f"teacher fwd (mb={mb})", teacher_fn,
+                    (params, state.teacher_encoder, feats))
+
+# 7. full train step
+step = make_jepa_train_step(
+    model, tx, sched, nr_samples_per_audio=8, masker=masker_fn,
+    masker_cfg=masker_cfg, ema_cfg=cfg.ema, scene_cfg=scene_cfg,
+    accum_steps=accum, donate=False)
+st = state
+st, m = step(st, batch, jax.random.PRNGKey(1)); float(m["loss"])
+t0 = time.perf_counter()
+N = 6
+for _ in range(N):
+    st, m = step(st, batch, jax.random.PRNGKey(1))
+    float(m["loss"])
+t_step = (time.perf_counter() - t0) / N
+print(f"{'FULL STEP':34s} {t_step*1e3:8.1f} ms   ({B/t_step:.2f} clips/s/chip)")
+print(f"scene+resample+crop fixed cost: {(t_scene+t_rs+t_crop)*1e3:.1f} ms "
+      f"({(t_scene+t_rs+t_crop)/t_step*100:.1f}% of step)")
+print(f"per-microbatch fwd x accum: enc {t_enc_mb*accum*1e3:.1f} teach {t_teach_mb*accum*1e3:.1f}")
