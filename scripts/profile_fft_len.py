@@ -29,19 +29,7 @@ def conv_at(n):
         return wet + bed
     return fn
 
-def timeit(name, fn, args, iters=6):
-    jfn = jax.jit(fn)
-    out = jfn(jnp.float32(0), *args)
-    float(jnp.sum(out))
-    t0 = time.perf_counter()
-    carry = jnp.float32(0)
-    for _ in range(iters):
-        out = jfn(carry, *args)
-        carry = (jnp.ravel(out)[0]).astype(jnp.float32) * 1e-20
-    float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:34s} {dt*1e3:8.1f} ms", flush=True)
-    return dt
+from scripts._timing import timeit
 
 NEED = T + L - 1  # 383999
 cands = [

@@ -38,20 +38,7 @@ batch = next(synthetic_denoise_batches(
     B, scene_len=int(32000 * 10.0), rir_len=64000, n_channels=2, seed=0))
 batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-def timeit(name, fn, args, iters=8):
-    """fn(carry_scalar, *args) -> array; chained via carry to defeat LICM."""
-    jfn = jax.jit(fn)
-    out = jfn(jnp.float32(0), *args)
-    float(jnp.sum(out))  # warm + close
-    t0 = time.perf_counter()
-    carry = jnp.float32(0)
-    for _ in range(iters):
-        out = jfn(carry, *args)
-        carry = jnp.real(jnp.ravel(out)[0]).astype(jnp.float32) * 1e-20
-    s = float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:34s} {dt*1e3:8.1f} ms")
-    return dt
+from scripts._timing import timeit, time_steps
 
 # 1. scene synthesis at 32k
 def scene_fn(c, b):
@@ -106,15 +93,8 @@ step = make_jepa_train_step(
     model, tx, sched, nr_samples_per_audio=8, masker=masker_fn,
     masker_cfg=masker_cfg, ema_cfg=cfg.ema, scene_cfg=scene_cfg,
     accum_steps=accum, donate=False)
-st = state
-st, m = step(st, batch, jax.random.PRNGKey(1)); float(m["loss"])
-t0 = time.perf_counter()
-N = 6
-for _ in range(N):
-    st, m = step(st, batch, jax.random.PRNGKey(1))
-    float(m["loss"])
-t_step = (time.perf_counter() - t0) / N
-print(f"{'FULL STEP':34s} {t_step*1e3:8.1f} ms   ({B/t_step:.2f} clips/s/chip)")
+t_step, _ = time_steps(step, state, batch, jax.random.PRNGKey(1), n=6)
+print(f"{'FULL STEP':40s} {t_step*1e3:8.1f} ms   ({B/t_step:.2f} clips/s/chip)")
 print(f"scene+resample+crop fixed cost: {(t_scene+t_rs+t_crop)*1e3:.1f} ms "
       f"({(t_scene+t_rs+t_crop)/t_step*100:.1f}% of step)")
 print(f"per-microbatch fwd x accum: enc {t_enc_mb*accum*1e3:.1f} teach {t_teach_mb*accum*1e3:.1f}")

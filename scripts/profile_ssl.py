@@ -34,19 +34,7 @@ B, S = 32, 8
 audio = jnp.asarray(
     np.random.default_rng(0).standard_normal((B, 1, 160000)), jnp.float32)
 
-def timeit(name, fn, args, iters=8):
-    jfn = jax.jit(fn)
-    out = jfn(jnp.float32(0), *args)
-    float(jnp.sum(jax.tree.leaves(out)[0]))
-    t0 = time.perf_counter()
-    carry = jnp.float32(0)
-    for _ in range(iters):
-        out = jfn(carry, *args)
-        carry = (jnp.ravel(jax.tree.leaves(out)[0])[0]).astype(jnp.float32) * 1e-20
-    float(jnp.sum(jax.tree.leaves(out)[0]))
-    dt = (time.perf_counter() - t0) / iters
-    print(f"{name:40s} {dt*1e3:8.1f} ms", flush=True)
-    return dt
+from scripts._timing import timeit, time_steps
 
 # materialize crops + masks once (256 crops)
 def prep(x):
@@ -123,14 +111,7 @@ for a in (8, 16, 32):
     st = make_jepa_train_step(
         model, tx, sched, nr_samples_per_audio=S, masker_cfg=mcfg,
         ema_cfg=cfg.ema, accum_steps=a, donate=False)
-    s0 = state
-    s0, m = st(s0, audio, jax.random.PRNGKey(1)); float(m["loss"])
-    t0 = time.perf_counter()
-    N = 5
-    for _ in range(N):
-        s0, m = st(s0, audio, jax.random.PRNGKey(1))
-        float(m["loss"])
-    dt = (time.perf_counter() - t0) / N
+    dt, _ = time_steps(st, state, audio, jax.random.PRNGKey(1), n=5)
     mb = 256 // a
     pred = t_mb.get(mb)
     extra = f" vs {a}x mb({mb}) = {pred*a*1e3:.0f} ms + opt {t_opt*1e3:.0f}" if pred else ""
