@@ -88,6 +88,33 @@ def teacher_fn(c, p, teacher, f):
 t_teach_mb = timeit(f"teacher fwd (mb={mb})", teacher_fn,
                     (params, state.teacher_encoder, feats))
 
+# 6b. student fwd+bwd per microbatch (masks exactly as the step builds them)
+from wavjepa_tpu.train.step import jepa_loss_fn
+
+ctx, tgt, vis = jax.jit(lambda k: masker_fn(
+    k, batch_size=crops.shape[0], n_times=model_cfg.total_patches,
+    in_channels=model_cfg.in_channels, cfg=masker_cfg))(jax.random.PRNGKey(2))
+if model_cfg.pack_encoder is not None:
+    chans = model_cfg.in_channels if masker_cfg.channel_based_masking else 1
+    if chans > 1:
+        v = (~ctx).reshape(ctx.shape[0], chans, -1)
+        over = (jnp.cumsum(v, axis=-1) > model_cfg.pack_encoder // chans).reshape(ctx.shape)
+    else:
+        over = jnp.cumsum(~ctx, axis=-1) > model_cfg.pack_encoder
+    ctx = ctx | over
+    vis = jnp.logical_xor(ctx[:, None, :], tgt)
+
+def grad_fn(c, p, teacher, mcrops, mctx, mtgt, mvis):
+    def num_fn(pp):
+        num, den = jepa_loss_fn(
+            model, pp, teacher, mcrops + c, mctx, mtgt, mvis, return_terms=True)
+        return num
+    return jax.grad(num_fn)(p)
+
+t_grad_mb = timeit(f"fwd+bwd microbatch (mb={mb})", grad_fn,
+                   (params, state.teacher_encoder,
+                    crops[:mb], ctx[:mb], tgt[:mb], vis[:mb]))
+
 # 7. full train step
 step = make_jepa_train_step(
     model, tx, sched, nr_samples_per_audio=8, masker=masker_fn,
@@ -97,4 +124,8 @@ t_step, _ = time_steps(step, state, batch, jax.random.PRNGKey(1), n=6)
 print(f"{'FULL STEP':40s} {t_step*1e3:8.1f} ms   ({B/t_step:.2f} clips/s/chip)")
 print(f"scene+resample+crop fixed cost: {(t_scene+t_rs+t_crop)*1e3:.1f} ms "
       f"({(t_scene+t_rs+t_crop)/t_step*100:.1f}% of step)")
-print(f"per-microbatch fwd x accum: enc {t_enc_mb*accum*1e3:.1f} teach {t_teach_mb*accum*1e3:.1f}")
+print(f"per-microbatch fwd x accum: enc {t_enc_mb*accum*1e3:.1f} "
+      f"teach {t_teach_mb*accum*1e3:.1f} fwd+bwd {t_grad_mb*accum*1e3:.1f}")
+print(f"floor sum: fixed {(t_scene+t_rs+t_crop)*1e3:.1f} + "
+      f"{accum}x fwd+bwd {t_grad_mb*accum*1e3:.1f} = "
+      f"{(t_scene+t_rs+t_crop+t_grad_mb*accum)*1e3:.1f} vs step {t_step*1e3:.1f}")

@@ -6,8 +6,11 @@ large variant, through the SHIPPED config-resolution path (trainer.accum_steps
 override + auto remat/packing), so the rows validate what train.py actually
 does. OOM cells are reported, not fatal.
 
-GRID env var selects cells: comma-separated `size:batch:accum` (accum 0 =
-auto). Default covers base@8/16 and large@32.
+GRID env var selects cells: comma-separated `size:batch:accum[:rematdec]`
+(accum 0 = auto; rematdec `on`/`off` forces trainer.remat_decoder, absent =
+config default — auto keeps decoder remat ON at accum=1, so the 4th field
+separates scan overhead from the remat replay at small batches). Default
+covers base@8/16 and large@8/32.
 """
 import os
 import sys
@@ -25,20 +28,25 @@ from wavjepa_tpu.masking import TimeInverseMaskConfig
 from scripts._timing import time_steps
 
 DEFAULT_GRID = (
-    "base:8:1,base:8:2,base:8:4,"
-    "base:16:1,base:16:2,base:16:4,base:16:8,"
+    "base:8:1,base:8:1:off,base:8:2,base:8:4,"
+    "base:16:1,base:16:1:off,base:16:2,base:16:4,base:16:8,"
+    "large:8:1,large:8:1:off,large:8:2,large:8:4,"
     "large:32:4,large:32:8,large:32:16,large:32:32"
 )
 cells = [c.split(":") for c in os.environ.get("GRID", DEFAULT_GRID).split(",")]
 
 S = 8
 _params_cache = {}
-for size, b, a in cells:
+for cell in cells:
+    size, b, a = cell[:3]
+    remat_dec = cell[3] if len(cell) > 3 else None
     B, accum_req = int(b), int(a)
     cfg = Config()
     cfg.trainer.size = size
     cfg.trainer.batch_size = B
     cfg.trainer.accum_steps = accum_req
+    if remat_dec is not None:
+        cfg.trainer.remat_decoder = remat_dec == "on"
     accum = cfg.resolved_accum_steps()
     auto = Config()
     auto.trainer.size = size
@@ -51,7 +59,10 @@ for size, b, a in cells:
         _params_cache[size] = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 1, model_cfg.target_length))
         )["params"]
-    params = _params_cache[size]
+    # Fresh copies per cell: the step donates its state (the shipped train
+    # path does — r4 reprofile showed donation moves near-cliff cells by
+    # >270 ms), and donation invalidates the cached param buffers.
+    params = jax.tree.map(jnp.copy, _params_cache[size])
     tx, sched = make_optimizer(cfg.optimizer)
     state = TrainState.create(params, tx)
     audio = jnp.asarray(
@@ -60,12 +71,12 @@ for size, b, a in cells:
     step = make_jepa_train_step(
         model, tx, sched, nr_samples_per_audio=S,
         masker_cfg=TimeInverseMaskConfig(), ema_cfg=cfg.ema,
-        accum_steps=accum, donate=False,
+        accum_steps=accum, donate=True,
     )
     crops = B * S
     label = f"{size} B={B} crops={crops} accum={accum}" + (
-        " (AUTO)" if accum == auto_pick else ""
-    )
+        " (AUTO)" if accum == auto_pick and remat_dec is None else ""
+    ) + (f" rematdec={remat_dec}" if remat_dec is not None else "")
     try:
         dt, _ = time_steps(step, state, audio, jax.random.PRNGKey(1), n=4)
         print(

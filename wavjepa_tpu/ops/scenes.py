@@ -27,8 +27,22 @@ import jax.numpy as jnp
 
 
 def _fft_len(n: int) -> int:
-    """Next power of two ≥ n (static)."""
-    return 1 << (n - 1).bit_length()
+    """Padded FFT length ≥ n (static): smallest multiple of 4096 ≥ n.
+
+    Measured on v5e (scripts/profile_fft_len.py, the real 32-clip scene
+    convolution pair at the shipped shape T=320000, L=64000 → n=383999):
+    every multiple-of-4096 candidate beat the next power of two —
+    94·4096=385024: 47.6 ms, 96·4096: 56.9, 100·4096: 63.2, vs pow2
+    524288 (=128·4096): 77.6 — while non-multiples were far worse
+    (384000: 117.8, 432000: 149.5, 388800: 228.8). XLA's TPU FFT pays for
+    padding volume but handles a single odd factor (94=2·47) fine, so the
+    tightest 4096-granule round-up wins. Exactness is unaffected: any
+    n ≥ t+l-1 yields the exact linear convolution. Small n keeps pow2
+    (identical below 4096, and tiny-test shapes don't care).
+    """
+    if n <= 4096:
+        return 1 << (n - 1).bit_length()
+    return -(-n // 4096) * 4096
 
 
 def fft_convolve_full_trunc(x: jax.Array, kernel: jax.Array) -> jax.Array:
