@@ -12,6 +12,7 @@ config default — auto keeps decoder remat ON at accum=1, so the 4th field
 separates scan overhead from the remat replay at small batches). Default
 covers base@8/16 and large@8/32.
 """
+import gc
 import os
 import sys
 
@@ -59,29 +60,37 @@ for cell in cells:
         _params_cache[size] = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 1, model_cfg.target_length))
         )["params"]
-    # Fresh copies per cell: the step donates its state (the shipped train
-    # path does — r4 reprofile showed donation moves near-cliff cells by
-    # >270 ms), and donation invalidates the cached param buffers.
-    params = jax.tree.map(jnp.copy, _params_cache[size])
-    tx, sched = make_optimizer(cfg.optimizer)
-    state = TrainState.create(params, tx)
-    audio = jnp.asarray(
-        np.random.default_rng(0).standard_normal((B, 1, 160000)), jnp.float32
-    )
-    step = make_jepa_train_step(
-        model, tx, sched, nr_samples_per_audio=S,
-        masker_cfg=TimeInverseMaskConfig(), ema_cfg=cfg.ema,
-        accum_steps=accum, donate=True,
-    )
     crops = B * S
     label = f"{size} B={B} crops={crops} accum={accum}" + (
         " (AUTO)" if accum == auto_pick and remat_dec is None else ""
     ) + (f" rematdec={remat_dec}" if remat_dec is not None else "")
     try:
-        dt, _ = time_steps(step, state, audio, jax.random.PRNGKey(1), n=4)
+        # Fresh copies per cell: the step donates its state (the shipped
+        # train path does — r4 reprofile showed donation moves near-cliff
+        # cells by >270 ms), and donation invalidates the cached buffers.
+        # Inside the try: the copy itself can RESOURCE_EXHAUST if a
+        # previous OOM'd cell left HBM fragmented.
+        params = jax.tree.map(jnp.copy, _params_cache[size])
+        tx, sched = make_optimizer(cfg.optimizer)
+        state = TrainState.create(params, tx)
+        audio = jnp.asarray(
+            np.random.default_rng(0).standard_normal((B, 1, 160000)),
+            jnp.float32,
+        )
+        step = make_jepa_train_step(
+            model, tx, sched, nr_samples_per_audio=S,
+            masker_cfg=TimeInverseMaskConfig(), ema_cfg=cfg.ema,
+            accum_steps=accum, donate=True,
+        )
+        dt, out = time_steps(step, state, audio, jax.random.PRNGKey(1), n=4)
         print(
             f"{label:44s} {dt*1e3:8.1f} ms  {B/dt:7.2f} clips/s  [{tag}]",
             flush=True,
         )
     except Exception as e:  # OOM or compile failure is a data point
         print(f"{label:44s} FAILED: {type(e).__name__}: {str(e)[:140]}", flush=True)
+    finally:
+        # Drop this cell's device buffers before the next cell compiles —
+        # a full train state left live across cells OOMs later cells.
+        params = state = audio = step = out = None
+        gc.collect()

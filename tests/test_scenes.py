@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from wavjepa_tpu.ops.scenes import (
+    _fft_len,
     add_noise,
     aggregate_noise,
     convolve_with_rir,
@@ -23,6 +24,29 @@ def test_fft_convolve_matches_numpy_full_mode():
     for i in range(3):
         ref = np.convolve(x[i], k[i], mode="full")[:400]
         np.testing.assert_allclose(out[i], ref, atol=1e-3, rtol=1e-4)
+
+
+def test_fft_len_granule_contract():
+    # Above 4096: tightest multiple of 4096 (measured fastest on the TPU
+    # FFT, see _fft_len docstring); at or below: next power of two.
+    assert _fft_len(383999) == 385024  # the shipped Nat scene shape
+    assert _fft_len(4097) == 8192
+    assert _fft_len(8192) == 8192
+    assert _fft_len(400 + 64 - 1) == 512
+    for n in (1, 400, 4096, 4097, 12000, 383999):
+        assert _fft_len(n) >= n
+
+
+def test_fft_convolve_exact_on_granule_path():
+    # n = t + l - 1 > 4096 exercises the 4096-granule padding branch; the
+    # result must still be the exact truncated full-mode convolution.
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 5000)).astype(np.float32)
+    k = rng.standard_normal((2, 700)).astype(np.float32)
+    out = np.asarray(fft_convolve_full_trunc(jnp.asarray(x), jnp.asarray(k)))
+    for i in range(2):
+        ref = np.convolve(x[i], k[i], mode="full")[:5000]
+        np.testing.assert_allclose(out[i], ref, atol=2e-3, rtol=1e-4)
 
 
 def test_convolve_with_rir_shapes_and_identity_kernel():
