@@ -91,6 +91,55 @@ def config_esc50(encoder) -> TaskConfig:
     )
 
 
+def config_fsd50k(encoder) -> TaskConfig:
+    """Vendored fixture of src/tasks/fsd50k_task.py's factory: FSD50K is a
+    200-class MULTILABEL clip-level task scored by macro mAP. The
+    label_processor maps a sample's label list to a multi-hot vector (the
+    published task modules do the same via label_to_binary_vector); the kNN
+    leg is off — kNN majority vote is undefined for multilabel targets."""
+    n_classes = 200
+
+    def to_multihot(sample: dict) -> np.ndarray:
+        vec = np.zeros((n_classes,), np.float32)
+        vec[np.asarray(sample["labels"], np.int64)] = 1.0
+        return vec
+
+    return TaskConfig(
+        encoder=encoder,
+        name="fsd50k",
+        formal_name="FSD50K",
+        metric="mAP",
+        output_dim=n_classes,
+        label_processor=to_multihot,
+        zenodo_id="zenodo.4060432",  # placeholder: data ids are not protocol
+        crop_length_s=10.0,
+        batch_size_train=32,
+        learning_rate=1e-3,
+        epochs=10,
+        do_knn=False,
+    )
+
+
+def knn_classify(
+    x_tr: np.ndarray, y_tr: np.ndarray, x_te: np.ndarray, k: int = 10
+) -> np.ndarray:
+    """The unsupervised kNN leg the harness reports next to the probe
+    (xares src/xares/task.py `run_knn`): cosine similarity on L2-normalized
+    embeddings, majority vote over the k nearest train items. Returns
+    predicted integer labels for x_te."""
+    k = min(k, len(y_tr))
+    a = x_tr / (np.linalg.norm(x_tr, axis=1, keepdims=True) + 1e-12)
+    b = x_te / (np.linalg.norm(x_te, axis=1, keepdims=True) + 1e-12)
+    sims = b @ a.T  # (n_te, n_tr)
+    nn = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+    votes = y_tr[nn]  # (n_te, k)
+    n_classes = int(y_tr.max()) + 1
+    counts = np.zeros((len(x_te), n_classes), np.int64)
+    for c in range(n_classes):
+        counts[:, c] = (votes == c).sum(axis=1)
+    return counts.argmax(axis=1)
+
+
 def discover_encoder_class(encoder_py: str | Path) -> type:
     """Import an encoder module file and find the encoder class the way
     `xares.run` does: the torch.nn.Module subclass DEFINED in that module."""
@@ -139,34 +188,119 @@ def encode_split(config: TaskConfig, samples: Sequence[dict]) -> tuple:
     return np.concatenate(xs), np.asarray(ys)
 
 
+def _train_probe_multilabel(
+    x: np.ndarray, y: np.ndarray, steps: int = 300, lr: float = 1e-2, seed: int = 0
+):
+    """Linear probe under sigmoid BCE — the multilabel twin of
+    run._train_probe (the xares MLP probe uses BCEWithLogits for
+    metric='mAP' tasks). y is multi-hot (N, C) float."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    mu, sd = x.mean(0), x.std(0) + 1e-6
+    x = (x - mu) / sd
+    w = 0.01 * jax.random.normal(jax.random.PRNGKey(seed), (x.shape[1], y.shape[1]))
+    b = jnp.zeros((y.shape[1],))
+    tx = optax.adam(lr)
+    opt = tx.init((w, b))
+    xj, yj = jnp.asarray(x), jnp.asarray(y, jnp.float32)
+
+    @jax.jit
+    def step(params, opt):
+        def loss_fn(p):
+            logits = xj @ p[0] + p[1]
+            return optax.sigmoid_binary_cross_entropy(logits, yj).mean()
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(g, opt)
+        return optax.apply_updates(params, updates), opt, loss
+
+    params = (w, b)
+    for _ in range(steps):
+        params, opt, loss = step(params, opt)
+    return params, (mu, sd), float(loss)
+
+
+def mean_average_precision(scores: np.ndarray, targets: np.ndarray) -> float:
+    """Macro mAP over classes with at least one positive (the sklearn
+    average_precision_score semantics the score library and the published
+    harness both use; first-party fallback keeps the fixture dependency-free)."""
+    try:
+        from sklearn.metrics import average_precision_score
+
+        keep = targets.sum(0) > 0
+        return float(
+            average_precision_score(targets[:, keep], scores[:, keep], average="macro")
+        )
+    except ImportError:
+        aps = []
+        for c in range(targets.shape[1]):
+            t = targets[:, c]
+            if t.sum() == 0:
+                continue
+            order = np.argsort(-scores[:, c], kind="stable")
+            t = t[order]
+            cum_pos = np.cumsum(t)
+            precision = cum_pos / np.arange(1, len(t) + 1)
+            aps.append(float((precision * t).sum() / t.sum()))
+        return float(np.mean(aps))
+
+
 def run_task_protocol(config: TaskConfig, splits: dict) -> dict:
     """Drive the full task protocol on in-memory splits
-    ({split_name: [ {audio, label}, ... ]}): encode each split, train the
-    MLP probe on train (+valid for early signal), report config.metric on
-    test. Returns the result record shaped like the harness's output."""
+    ({split_name: [ {audio, label(s)}, ... ]}): encode each split, train the
+    probe on train (+valid for early signal), report config.metric on test —
+    plus the unsupervised kNN leg when ``config.do_knn`` (single-label tasks
+    only, as in the published harness). Returns the result record shaped
+    like the harness's output."""
     from wavjepa_tpu.eval.xares.checker import check_audio_encoder
     from wavjepa_tpu.eval.xares.run import _train_probe
 
     check_audio_encoder(config.encoder)
     x_tr, y_tr = encode_split(config, splits[config.train_split])
     x_te, y_te = encode_split(config, splits[config.test_split])
-    classes = sorted(set(y_tr) | set(y_te))
-    cls_to_idx = {c: i for i, c in enumerate(classes)}
-    y_tr_i = np.asarray([cls_to_idx[c] for c in y_tr])
-    y_te_i = np.asarray([cls_to_idx[c] for c in y_te])
-    params, (mu, sd), _ = _train_probe(
-        x_tr, y_tr_i, len(classes), lr=config.learning_rate,
-        steps=max(50, config.epochs * 30),
-    )
-    logits = (x_te - mu) / sd @ np.asarray(params[0]) + np.asarray(params[1])
-    if config.metric != "accuracy":
-        raise NotImplementedError(f"fixture covers accuracy; got {config.metric}")
-    value = float((logits.argmax(-1) == y_te_i).mean())
-    return {
+    steps = max(50, config.epochs * 30)
+
+    if config.metric == "accuracy":
+        classes = sorted(set(y_tr) | set(y_te))
+        cls_to_idx = {c: i for i, c in enumerate(classes)}
+        y_tr_i = np.asarray([cls_to_idx[c] for c in y_tr])
+        y_te_i = np.asarray([cls_to_idx[c] for c in y_te])
+        params, (mu, sd), _ = _train_probe(
+            x_tr, y_tr_i, len(classes), lr=config.learning_rate, steps=steps
+        )
+        logits = (x_te - mu) / sd @ np.asarray(params[0]) + np.asarray(params[1])
+        value = float((logits.argmax(-1) == y_te_i).mean())
+        n_train, n_test = len(y_tr_i), len(y_te_i)
+        knn_value = (
+            float((knn_classify(x_tr, y_tr_i, x_te) == y_te_i).mean())
+            if config.do_knn
+            else None
+        )
+    elif config.metric == "mAP":
+        # multilabel: label_processor produced multi-hot rows (N, C)
+        y_tr_m = np.asarray(y_tr, np.float32)
+        y_te_m = np.asarray(y_te, np.float32)
+        params, (mu, sd), _ = _train_probe_multilabel(
+            x_tr, y_tr_m, lr=config.learning_rate, steps=steps
+        )
+        logits = (x_te - mu) / sd @ np.asarray(params[0]) + np.asarray(params[1])
+        value = mean_average_precision(logits, y_te_m)
+        n_train, n_test = len(y_tr_m), len(y_te_m)
+        knn_value = None  # kNN majority vote is undefined for multilabel
+    else:
+        raise NotImplementedError(
+            f"fixture covers accuracy/mAP; got {config.metric}"
+        )
+    result = {
         "task": config.name,
         "formal_name": config.formal_name,
         "metric": config.metric,
         "value": value,
-        "n_train": len(y_tr_i),
-        "n_test": len(y_te_i),
+        "n_train": n_train,
+        "n_test": n_test,
     }
+    if knn_value is not None:
+        result["knn_accuracy"] = knn_value
+    return result
