@@ -1,12 +1,20 @@
-"""Worker body for the 2-process multi-host smoke test (run by
+"""Worker body for the 2-process multi-host test (run by
 tests/test_multihost.py, one subprocess per simulated host).
 
 Exercises parallel/mesh.initialize_multihost → a global mesh spanning both
-processes → a cross-process collective (global sum through GSPMD) → a tiny
-JEPA forward on the sharded batch. This is the local stand-in for a real
-DCN multi-host bring-up (SURVEY §7: multi-host DP as the TPU-native
-extension; VERDICT r1 item 9)."""
+processes → a cross-process collective (global sum through GSPMD) → the REAL
+``make_jepa_train_step`` (donation on, grads psum'd across the process
+boundary by GSPMD, EMA update, one orbax save/restore mid-run) on a tiny
+JEPA (VERDICT r4 #4 — the reference's ceiling is single-node DDP,
+/root/reference/train.py:174-179). The same body also runs as a
+single-process 8-device control (nprocs=1): the test asserts the per-step
+losses match across the process-count split, which is only possible if the
+cross-process gradient reduction is correct.
 
+argv: coordinator pid nprocs ckpt_dir out_json
+"""
+
+import json
 import sys
 
 import jax
@@ -18,34 +26,53 @@ import numpy as np  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
 
-def main() -> int:
-    coordinator, pid = sys.argv[1], int(sys.argv[2])
-    from wavjepa_tpu.parallel.mesh import (
-        DATA_AXIS,
-        initialize_multihost,
-        make_mesh,
-    )
+def _smoke(mesh, pid: int, nprocs: int, ckpt_dir: str) -> None:
+    """The original collective + forward + sharded-ckpt smoke."""
+    from wavjepa_tpu.parallel.mesh import DATA_AXIS
 
-    initialize_multihost(coordinator, num_processes=2, process_id=pid)
-    assert jax.process_count() == 2, jax.process_count()
     n = len(jax.devices())
-    assert n == 2 * len(jax.local_devices())
-
-    mesh = make_mesh()
     # global batch sharded over the data axis: each process contributes its
-    # local half; the jitted sum needs a cross-host collective
+    # local slice; the jitted sum needs a cross-host collective
     local = np.full((len(jax.local_devices()), 4), 1.0 + pid, np.float32)
     sharding = NamedSharding(mesh, P(DATA_AXIS, None))
     garr = jax.make_array_from_process_local_data(sharding, local, (n, 4))
     total = jax.jit(
         lambda x: jnp.sum(x), out_shardings=NamedSharding(mesh, P())
     )(garr)
-    expect = 4 * (len(jax.local_devices())) * (1.0 + 2.0)
+    expect = 4 * len(jax.local_devices()) * sum(1.0 + p for p in range(nprocs))
     got = float(jax.device_get(total))
     assert abs(got - expect) < 1e-6, (got, expect)
 
-    # tiny model forward over the global mesh
+    # the cross-host-sharded batch round-trips through the repo's own
+    # CheckpointManager; every process must see its exact local shards back
+    from wavjepa_tpu.train.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_dir + "/smoke")
+    assert mgr.save(0, {"audio": garr}, force=True)
+    mgr.wait()
+    restored = mgr.restore({"audio": garr})
+    got_arr = restored["audio"]
+    assert got_arr.sharding.is_equivalent_to(garr.sharding, garr.ndim)
+    for s_ref, s_got in zip(garr.addressable_shards, got_arr.addressable_shards):
+        np.testing.assert_array_equal(np.asarray(s_got.data), np.asarray(s_ref.data))
+    mgr.close()
+    print(f"[host {pid}] sharded ckpt roundtrip ok", flush=True)
+
+
+def _train_leg(mesh, pid: int, ckpt_dir: str) -> list:
+    """Three steps of the real fused train step over the global mesh, with
+    an orbax save/restore between steps 2 and 3. Returns the three losses."""
+    from wavjepa_tpu.masking import TimeInverseMaskConfig
     from wavjepa_tpu.models.jepa import JEPA, JEPAConfig
+    from wavjepa_tpu.parallel.mesh import DATA_AXIS, replicated
+    from wavjepa_tpu.train.checkpoint import CheckpointManager
+    from wavjepa_tpu.train.state import TrainState
+    from wavjepa_tpu.train.step import (
+        EMAConfig,
+        OptimizerConfig,
+        make_jepa_train_step,
+        make_optimizer,
+    )
 
     cfg = JEPAConfig(
         conv_spec=((8, 10, 5), (8, 3, 2)),
@@ -58,47 +85,91 @@ def main() -> int:
         sample_rate=1600,
         process_seconds=0.201,
         average_top_k_layers=1,
-        remat=False,  # remat tracing is the slow part of init on a loaded CPU
+        remat=False,
+    )
+    mask_cfg = TimeInverseMaskConfig(
+        target_masks_per_context=2,
+        context_mask_prob=0.5,
+        context_mask_length=4,
+        target_prob=0.2,
+        target_length=4,
+        ratio_cutoff=0.1,
     )
     model = JEPA(cfg)
-    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 1, cfg.target_length)))[
-        "params"
-    ]
-    local_audio = np.random.default_rng(pid).normal(
-        size=(len(jax.local_devices()), 1, cfg.target_length)
-    ).astype(np.float32)
-    audio = jax.make_array_from_process_local_data(
-        NamedSharding(mesh, P(DATA_AXIS, None, None)),
-        local_audio,
-        (n, 1, cfg.target_length),
+    tx, sched = make_optimizer(
+        OptimizerConfig(lr=1e-3, warmup_steps=2, total_steps=10)
     )
-    rep = jax.jit(
-        lambda p, a: model.apply({"params": p}, a, method="represent").mean(),
-        out_shardings=NamedSharding(mesh, P()),
-    )(params, audio)
-    assert np.isfinite(float(jax.device_get(rep)))
+    step_fn = make_jepa_train_step(
+        model,
+        tx,
+        sched,
+        nr_samples_per_audio=2,
+        masker_cfg=mask_cfg,
+        ema_cfg=EMAConfig(anneal_end_step=5),
+        donate=True,  # donation across the process boundary (VERDICT r4 #4)
+    )
 
-    # sharded orbax save/restore across BOTH processes (VERDICT r2 #6):
-    # the cross-host-sharded batch round-trips through the repo's own
-    # CheckpointManager; every process must see its exact local shards back
-    if len(sys.argv) > 3:
-        from wavjepa_tpu.train.checkpoint import CheckpointManager
+    # state init UNDER jit with replicated out-sharding: every process holds
+    # identical replicated global arrays (eager init would build per-process
+    # local arrays the global-mesh program cannot consume)
+    def init_state():
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 1, cfg.target_length))
+        )["params"]
+        return TrainState.create(params, tx)
 
-        mgr = CheckpointManager(sys.argv[3])
-        assert mgr.save(0, {"audio": audio}, force=True)
-        mgr.wait()
-        restored = mgr.restore({"audio": audio})
-        got = restored["audio"]
-        assert got.sharding.is_equivalent_to(audio.sharding, audio.ndim)
-        for s_ref, s_got in zip(
-            audio.addressable_shards, got.addressable_shards
-        ):
-            np.testing.assert_array_equal(
-                np.asarray(s_got.data), np.asarray(s_ref.data)
-            )
-        mgr.close()
-        print(f"[host {pid}] sharded ckpt roundtrip ok", flush=True)
+    state = jax.jit(init_state, out_shardings=replicated(mesh))()
 
+    # identical GLOBAL batches on every process (same seed), delivered via
+    # make_array_from_callback so row→device placement is unambiguous —
+    # crops/masks key on the row index, so row order must match the control
+    n_global = len(jax.devices())
+    audio_np = np.random.default_rng(7).normal(
+        size=(n_global, 1, cfg.target_length * 2)
+    ).astype(np.float32)
+    audio = jax.make_array_from_callback(
+        audio_np.shape,
+        NamedSharding(mesh, P(DATA_AXIS, None, None)),
+        lambda idx: audio_np[idx],
+    )
+
+    rng = jax.random.PRNGKey(11)
+    losses = []
+    state, metrics = step_fn(state, audio, rng)
+    losses.append(float(jax.device_get(metrics["loss"])))
+    state, metrics = step_fn(state, audio, rng)
+    losses.append(float(jax.device_get(metrics["loss"])))
+
+    # one orbax save/restore of the full TrainState across both processes,
+    # then continue training from the restored state
+    mgr = CheckpointManager(ckpt_dir + "/train")
+    assert mgr.save(2, state, force=True)
+    mgr.wait()
+    restored = mgr.restore(state)
+    mgr.close()
+    assert int(jax.device_get(restored.step)) == 2
+    state, metrics = step_fn(restored, audio, rng)
+    losses.append(float(jax.device_get(metrics["loss"])))
+    assert all(np.isfinite(losses)), losses
+    print(f"[host {pid}] train losses {losses}", flush=True)
+    return losses
+
+
+def main() -> int:
+    coordinator, pid, nprocs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    ckpt_dir, out_json = sys.argv[4], sys.argv[5]
+    from wavjepa_tpu.parallel.mesh import initialize_multihost, make_mesh
+
+    if nprocs > 1:
+        initialize_multihost(coordinator, num_processes=nprocs, process_id=pid)
+        assert jax.process_count() == nprocs, jax.process_count()
+    assert len(jax.devices()) == nprocs * len(jax.local_devices())
+
+    mesh = make_mesh()
+    _smoke(mesh, pid, nprocs, ckpt_dir)
+    losses = _train_leg(mesh, pid, ckpt_dir)
+    with open(out_json, "w") as f:
+        json.dump({"losses": losses}, f)
     print(f"[host {pid}] multihost smoke ok", flush=True)
     return 0
 
