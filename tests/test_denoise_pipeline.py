@@ -102,3 +102,74 @@ def test_denoise_sample_source_shapes(tmp_path):
             [batch["noise"][i][:start], batch["noise"][i][start + length:]]
         )
         assert np.allclose(outside, 0.0)
+
+
+def test_bank_and_int16_wire(tmp_path):
+    """rir_bank_size pre-pulls stacks into a host bank; samples then carry a
+    4-byte rir_index instead of inline RIRs, audio/noise ship int16, and
+    denoise_batches attaches the per-batch bank-refresh payload
+    (VERDICT r4 #1 wire fixes)."""
+    from wavjepa_tpu.data.denoise_pipeline import (
+        DenoiseSampleSource,
+        denoise_batches,
+    )
+
+    sr = 3200
+    rng = np.random.default_rng(2)
+    audio_shard = tmp_path / "audio-0000.tar"
+    _write_flac_like_wav_tar(
+        audio_shard, [0.3 * rng.standard_normal(sr * 4) for _ in range(6)], sr
+    )
+    rir_shard = tmp_path / "rirs-0000.tar"
+    rirs = []
+    for j in range(6):
+        r = np.zeros((3, 1, 200), np.float32)
+        r[:, :, 0] = 1.0 + j
+        rirs.append(r)
+    _write_npy_tar(rir_shard, rirs)
+    noise_shard = tmp_path / "noise-0000.tar"
+    _write_npy_tar(
+        noise_shard,
+        [0.1 * rng.standard_normal(sr * 2).astype(np.float32) for _ in range(4)],
+    )
+
+    source = DenoiseSampleSource(
+        str(audio_shard),
+        rir_pattern=str(rir_shard),
+        noise_pattern=str(noise_shard),
+        sr=sr,
+        target_seconds=3.0,
+        max_noise_sources=2,
+        rir_seconds=0.1,
+        num_workers=1,
+        transfer_dtype="int16",
+        rir_bank_size=3,
+    )
+    try:
+        bank = source.rir_bank()
+        rir_len = int(sr * 0.1)
+        assert bank["source_rir"].shape == (3, 1, rir_len)
+        assert bank["noise_rirs"].shape == (3, 2, 1, rir_len)
+        batch = next(
+            denoise_batches(source, batch_size=2, refresh_rirs_per_batch=1)
+        )
+    finally:
+        source.stop()
+
+    assert batch["audio"].dtype == np.int16
+    assert batch["noise"].dtype == np.int16
+    assert "source_rir" not in batch and "noise_rirs" not in batch
+    assert batch["rir_index"].shape == (2,)
+    assert all(0 <= i < 3 for i in batch["rir_index"])
+    refresh = batch["rir_bank_refresh"]
+    assert refresh["slots"].shape == (1,) and refresh["slots"][0] == 0  # ring ptr
+    assert refresh["rows"]["source_rir"].shape == (1, 1, rir_len)
+    assert refresh["rows"]["noise_rirs"].shape == (1, 2, 1, rir_len)
+    # int16 wire zero-preserves the placed-noise silence
+    for i in range(2):
+        start = int(batch["noise_start"][i])
+        length = int(batch["noise_length"][i])
+        outside = np.concatenate(
+            [batch["noise"][i][:start], batch["noise"][i][start + length:]]
+        )
+        assert (outside == 0).all()

@@ -312,3 +312,120 @@ def test_effective_scene_flags_consistency():
     assert effective_scene_flags(cfg) == (True, True)
     cfg.data.with_noise = False
     assert effective_scene_flags(cfg) == (True, False)
+
+
+def _tiny_denoise_setup(donate=False, with_rir=True, with_noise=True):
+    dcfg = _dcfg()
+    teacher = JEPA(TINY)
+    student = DenoiserStudent(TINY)
+    audio0 = jnp.zeros((1, 1, TINY.target_length))
+    tparams = teacher.init(jax.random.PRNGKey(0), audio0)["params"]
+    sparams = student_params_from_jepa(tparams)
+    tx, sched = make_denoise_optimizer(
+        DenoiseOptimizerConfig(warmup_steps=2, total_steps=10)
+    )
+    state = DenoiseTrainState.create(jax.tree.map(jnp.copy, sparams), tx)
+    step = make_denoise_train_step(
+        student, teacher, dcfg, tx, sched,
+        with_rir=with_rir, with_noise=with_noise, donate=donate,
+    )
+    return dcfg, tparams, state, step
+
+
+class TestRIRBankAndWire:
+    """The denoise/Nat ingest wire fixes (VERDICT r4 #1): device-resident
+    RIR bank (ship once + per-clip indices) and int16 audio/noise wire."""
+
+    def test_rir_bank_matches_inline(self):
+        """bank+rir_index must be EXACTLY the inline source_rir/noise_rirs
+        step: the gather reproduces the same f32 rows, everything after is
+        the identical program."""
+        dcfg, tparams, state, step = _tiny_denoise_setup()
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in next(
+                iter(
+                    synthetic_denoise_batches(
+                        3, scene_len=dcfg.scene_length, rir_len=320, max_noise=2,
+                        seed=3,
+                    )
+                )
+            ).items()
+        }
+        # bank with 5 rows; rows 4,0,2 hold the batch's three RIR stacks
+        rng = np.random.default_rng(9)
+        n, c, l = 5, 1, 320
+        bank = {
+            "source_rir": rng.standard_normal((n, c, l)).astype(np.float32),
+            "noise_rirs": rng.standard_normal((n, 2, c, l)).astype(np.float32),
+        }
+        idx = np.asarray([4, 0, 2], np.int32)
+        bank["source_rir"][idx] = np.asarray(batch["source_rir"])
+        bank["noise_rirs"][idx] = np.asarray(batch["noise_rirs"])
+        banked = {
+            k: v for k, v in batch.items() if k not in ("source_rir", "noise_rirs")
+        }
+        banked["rir_index"] = jnp.asarray(idx)
+        bank = {k: jnp.asarray(v) for k, v in bank.items()}
+
+        _, m_inline = step(state, tparams, batch, jax.random.PRNGKey(5))
+        _, m_banked = step(state, tparams, banked, jax.random.PRNGKey(5), bank)
+        assert float(m_inline["loss"]) == float(m_banked["loss"])
+
+    def test_int16_wire_close_to_f32(self):
+        """int16-quantized audio AND noise must train to the same loss:
+        the audio peak gain cancels in the per-crop instance norm, the noise
+        gain cancels in the segmental-SNR renormalization (add_noise scales
+        the bed from the actual energies); the residual is -96 dBFS
+        quantization noise."""
+        from wavjepa_tpu.data.pipeline import quantize_clip_int16
+
+        dcfg, tparams, state, step = _tiny_denoise_setup()
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in next(
+                iter(
+                    synthetic_denoise_batches(
+                        3, scene_len=dcfg.scene_length, rir_len=320, max_noise=2,
+                        seed=4,
+                    )
+                )
+            ).items()
+        }
+        wired = dict(batch)
+        wired["audio"] = jnp.asarray(
+            np.stack([quantize_clip_int16(c) for c in np.asarray(batch["audio"])])
+        )
+        wired["noise"] = jnp.asarray(
+            np.stack([quantize_clip_int16(c) for c in np.asarray(batch["noise"])])
+        )
+        assert wired["audio"].dtype == jnp.int16
+        _, m32 = step(state, tparams, batch, jax.random.PRNGKey(6))
+        _, m16 = step(state, tparams, wired, jax.random.PRNGKey(6))
+        np.testing.assert_allclose(
+            float(m16["loss"]), float(m32["loss"]), rtol=2e-3
+        )
+
+    def test_update_rir_bank_scatter(self):
+        from wavjepa_tpu.ops.scenes import update_rir_bank
+
+        rng = np.random.default_rng(1)
+        bank = {
+            "source_rir": jnp.asarray(rng.standard_normal((4, 1, 8)), jnp.float32),
+            "noise_rirs": jnp.asarray(rng.standard_normal((4, 2, 1, 8)), jnp.float32),
+        }
+        before = jax.tree.map(np.asarray, bank)
+        rows = {
+            "source_rir": jnp.ones((2, 1, 8), jnp.float32),
+            "noise_rirs": jnp.full((2, 2, 1, 8), 2.0, jnp.float32),
+        }
+        slots = jnp.asarray([3, 1], jnp.int32)
+        new = update_rir_bank(bank, slots, rows)
+        got = jax.tree.map(np.asarray, new)
+        np.testing.assert_array_equal(got["source_rir"][3], np.ones((1, 8)))
+        np.testing.assert_array_equal(got["source_rir"][1], np.ones((1, 8)))
+        np.testing.assert_array_equal(got["source_rir"][0], before["source_rir"][0])
+        np.testing.assert_array_equal(got["noise_rirs"][2], before["noise_rirs"][2])
+        np.testing.assert_array_equal(
+            got["noise_rirs"][3], np.full((2, 1, 8), 2.0)
+        )

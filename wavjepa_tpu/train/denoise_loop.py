@@ -105,7 +105,13 @@ def effective_scene_flags(cfg: Config) -> tuple[bool, bool]:
     return with_rir, with_noise
 
 
-def build_denoise_data_iterator(cfg: Config) -> Iterator[dict[str, np.ndarray]]:
+def build_denoise_data_iterator(
+    cfg: Config,
+) -> tuple[Iterator[dict[str, np.ndarray]], Optional[dict]]:
+    """Returns (batch iterator, host RIR bank or None). The bank (when the
+    real-data pipeline runs with ``data.rir_bank_size > 0``) is shipped to
+    the device once by the caller; batches then carry per-clip ``rir_index``
+    (+ a ``rir_bank_refresh`` payload) instead of inline RIRs."""
     dcfg = DenoiserConfig(jepa=cfg.build_denoise_model_config(), alpha=cfg.alpha)
     with_rir, with_noise = effective_scene_flags(cfg)
     if cfg.data.synthetic or not cfg.data.data_dirs:
@@ -117,7 +123,7 @@ def build_denoise_data_iterator(cfg: Config) -> Iterator[dict[str, np.ndarray]]:
             with_noise=with_noise,
             n_channels=cfg.data.in_channels if cfg.data.nat_scenes else 1,
             seed=cfg.trainer.seed,
-        )
+        ), None
     from wavjepa_tpu.data.denoise_pipeline import (
         DenoiseSampleSource,
         denoise_batches,
@@ -135,8 +141,17 @@ def build_denoise_data_iterator(cfg: Config) -> Iterator[dict[str, np.ndarray]]:
         host_id=jax.process_index(),
         num_hosts=jax.process_count(),
         seed=cfg.trainer.seed,
+        transfer_dtype=cfg.data.transfer_dtype,
+        rir_bank_size=cfg.data.rir_bank_size if with_rir else 0,
     )
-    return denoise_batches(source, cfg.trainer.batch_size)
+    return (
+        denoise_batches(
+            source,
+            cfg.trainer.batch_size,
+            refresh_rirs_per_batch=cfg.data.rir_refresh_per_batch,
+        ),
+        source.rir_bank(),
+    )
 
 
 def train_denoiser(
@@ -216,7 +231,9 @@ def train_denoiser(
         print(f"resumed from step {int(state.step)}", flush=True)
 
     logger = MetricLogger(str(run_dir / "tb"))
-    data_iter = data_iter if data_iter is not None else build_denoise_data_iterator(cfg)
+    bank_host = None
+    if data_iter is None:
+        data_iter, bank_host = build_denoise_data_iterator(cfg)
     total = max_steps if max_steps is not None else cfg.trainer.steps
     clips_per_step = cfg.trainer.batch_size * cfg.data.samples_per_audio
     throughput = Throughput(clips_per_step, n_chips)
@@ -227,11 +244,20 @@ def train_denoiser(
     # iteration would stall async dispatch
     from wavjepa_tpu.train.loop import prefetch_to_device
 
+    from wavjepa_tpu.ops.scenes import update_rir_bank
+    from wavjepa_tpu.parallel.mesh import replicated
+
+    rir_bank = (
+        jax.device_put(bank_host, replicated(mesh)) if bank_host is not None else None
+    )
     step = int(state.step)
     device_iter = prefetch_to_device(data_iter, mesh)
     for _ in range(step, total):
         batch = next(device_iter)
-        state, metrics = step_fn(state, teacher_params, batch, rng)
+        refresh = batch.pop("rir_bank_refresh", None)
+        if refresh is not None:
+            rir_bank = update_rir_bank(rir_bank, refresh["slots"], refresh["rows"])
+        state, metrics = step_fn(state, teacher_params, batch, rng, rir_bank)
         step += 1
         if step % cfg.trainer.log_every == 0 or step == total:
             vals = {k: float(v) for k, v in metrics.items()}

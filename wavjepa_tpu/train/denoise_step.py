@@ -37,7 +37,7 @@ from wavjepa_tpu.models.denoiser import (
 )
 from wavjepa_tpu.models.jepa import JEPA
 from wavjepa_tpu.ops.audio import instance_normalize, random_crops
-from wavjepa_tpu.ops.scenes import generate_scene
+from wavjepa_tpu.ops.scenes import gather_scene_rirs, generate_scene, wire_to_f32
 from wavjepa_tpu.train.schedule import warmup_cosine_schedule
 
 
@@ -97,35 +97,48 @@ def make_denoise_train_step(
     exact for this uniform-count MSE (same convention as train/step.py's
     JEPA accumulation; lets remat trade away its backward replays).
 
-    Returns ``step(state, teacher_params, batch, rng) -> (state, metrics)``
-    where ``batch`` is a dict of host-assembled arrays:
+    Returns ``step(state, teacher_params, batch, rng[, rir_bank]) ->
+    (state, metrics)`` where ``batch`` is a dict of host-assembled arrays:
 
-      audio       (B, T32) f32      clean 10-s clips at ``cfg.original_sr``
+      audio       (B, T32) f32|i16  clean 10-s clips at ``cfg.original_sr``
+                                    (int16 wire: peak gain cancels under the
+                                    per-crop instance norm, ops/scenes.wire_to_f32)
       source_rir  (B, C, L) f32     source RIRs              [if with_rir]
-      noise       (B, T32) f32      faded, offset-placed noise [if with_noise]
+      noise       (B, T32) f32|i16  faded, offset-placed noise [if with_noise]
+                                    (int16 wire: gain cancels in the SNR mix)
       noise_rirs  (B, N, C, L) f32  noise RIRs (zero rows ok) [if both]
       noise_start (B,) i32, noise_length (B,) i32, snr (B,) f32
+      rir_index   (B,) i32          bank row per clip — replaces source_rir/
+                                    noise_rirs when ``rir_bank`` (the
+                                    device-resident {"source_rir": (N, C, L)
+                                    [, "noise_rirs": (N, M, C, L)]} bank,
+                                    shipped once) is passed
     """
     jcfg = cfg.jepa
     crop_len = jcfg.target_length
     n_crops = cfg.nr_samples_per_audio
 
-    def step_fn(state: DenoiseTrainState, teacher_params, batch, rng):
+    def step_fn(state: DenoiseTrainState, teacher_params, batch, rng, rir_bank=None):
         key = jax.random.fold_in(rng, state.step)
+
+        audio = wire_to_f32(batch["audio"])
+        source_rir, noise_rirs = batch.get("source_rir"), batch.get("noise_rirs")
+        if with_rir and source_rir is None:
+            source_rir, noise_rirs = gather_scene_rirs(rir_bank, batch["rir_index"])
 
         # --- scene synthesis at 32 kHz (ops/scenes.py) ---
         noisy = generate_scene(
-            batch["audio"],
-            batch.get("source_rir"),
-            batch.get("noise"),
-            batch.get("noise_rirs"),
+            audio,
+            source_rir,
+            wire_to_f32(batch.get("noise")),
+            noise_rirs,
             batch.get("noise_start"),
             batch.get("noise_length"),
             batch.get("snr"),
             with_rir=with_rir,
             with_noise=with_noise,
         )  # (B, 1, T32)
-        clean = batch["audio"][:, None, :]
+        clean = audio[:, None, :]
 
         # --- resample 32 k→16 k (denoiser.py:258-266) ---
         if cfg.original_sr != jcfg.sample_rate:

@@ -31,8 +31,13 @@ from wavjepa_tpu.train.step import (
 from wavjepa_tpu.utils.metrics import MetricLogger, Throughput
 
 
-def build_data_iterator(cfg: Config, start_step: int = 0) -> Iterator[np.ndarray]:
-    """``start_step`` positions a resumable stream at the batch a resumed
+def build_data_iterator(
+    cfg: Config, start_step: int = 0
+) -> tuple[Iterator[np.ndarray], Optional[dict]]:
+    """Returns (batch iterator, host RIR bank or None — Nat real-data runs
+    only, see denoise_loop.build_denoise_data_iterator).
+
+    ``start_step`` positions a resumable stream at the batch a resumed
     run will consume next. The synthetic source rebuilds its exact position
     in O(1) (per-index keying); the shard pipeline intentionally does NOT
     fast-forward — it is a stochastic infinite stream with no meaningful
@@ -57,10 +62,10 @@ def build_data_iterator(cfg: Config, start_step: int = 0) -> Iterator[np.ndarray
             sr=cfg.data.sr,
             seed=cfg.trainer.seed,
             start_batch=start_step,
-        )
+        ), None
     from wavjepa_tpu.data.pipeline import audio_shard_batches
 
-    return audio_shard_batches(cfg)
+    return audio_shard_batches(cfg), None
 
 
 def prefetch_to_device(iterator, mesh, size: int = 2):
@@ -79,7 +84,23 @@ def prefetch_to_device(iterator, mesh, size: int = 2):
 
     def put(batch):
         if isinstance(batch, dict):
-            return {k: shard_batch(mesh, jnp.asarray(v)) for k, v in batch.items()}
+            out = {}
+            for k, v in batch.items():
+                if k == "rir_bank_refresh":
+                    # bank-refresh payload updates the REPLICATED device
+                    # bank (ops/scenes.update_rir_bank) — replicate it, the
+                    # batch sharding over the data axis does not apply
+                    from wavjepa_tpu.parallel.mesh import replicated
+
+                    out[k] = jax.tree.map(
+                        lambda x: jax.device_put(
+                            jnp.asarray(x), replicated(mesh)
+                        ),
+                        v,
+                    )
+                else:
+                    out[k] = shard_batch(mesh, jnp.asarray(v))
+            return out
         return shard_batch(mesh, jnp.asarray(batch))
 
     buf: _queue.Queue = _queue.Queue(maxsize=max(1, size))
@@ -188,11 +209,9 @@ def train_jepa(
     # built AFTER restore so a resumable stream starts at the right batch
     # (resume-equivalence: train N == train k, restore, train N−k; callers
     # passing data_iter position it themselves)
-    data_iter = (
-        data_iter
-        if data_iter is not None
-        else build_data_iterator(cfg, start_step=int(state.step))
-    )
+    bank_host = None
+    if data_iter is None:
+        data_iter, bank_host = build_data_iterator(cfg, start_step=int(state.step))
     total = max_steps if max_steps is not None else cfg.trainer.steps
     clips_per_step = cfg.trainer.batch_size * cfg.data.samples_per_audio
     throughput = Throughput(clips_per_step, n_chips)
@@ -204,11 +223,23 @@ def train_jepa(
     # deterministic (+1 per call), and fetching it every iteration would force
     # a device→host transfer that stalls async dispatch (VERDICT r1 weak #5).
     # Metrics are fetched (the only sync) at log_every / checkpoint points.
+    from wavjepa_tpu.ops.scenes import update_rir_bank
+    from wavjepa_tpu.parallel.mesh import replicated
+
+    rir_bank = (
+        jax.device_put(bank_host, replicated(mesh)) if bank_host is not None else None
+    )
     step = start_step
     device_iter = prefetch_to_device(data_iter, mesh)
     for _ in range(start_step, total):
         batch = next(device_iter)
-        state, metrics = step_fn(state, batch, k_train)
+        if isinstance(batch, dict):
+            refresh = batch.pop("rir_bank_refresh", None)
+            if refresh is not None:
+                rir_bank = update_rir_bank(
+                    rir_bank, refresh["slots"], refresh["rows"]
+                )
+        state, metrics = step_fn(state, batch, k_train, rir_bank)
         step += 1
         if step % cfg.trainer.log_every == 0 or step == total:
             last_metrics = {k: float(v) for k, v in metrics.items()}

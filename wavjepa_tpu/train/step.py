@@ -38,7 +38,7 @@ from wavjepa_tpu.data.resample import resample_jax
 from wavjepa_tpu.masking import TimeInverseMaskConfig, time_inverse_block_masks
 from wavjepa_tpu.models.jepa import JEPA, masked_prediction_loss
 from wavjepa_tpu.ops.audio import instance_normalize, random_crops
-from wavjepa_tpu.ops.scenes import generate_scene
+from wavjepa_tpu.ops.scenes import gather_scene_rirs, generate_scene, wire_to_f32
 from wavjepa_tpu.train.schedule import ema_decay_schedule, warmup_cosine_schedule
 from wavjepa_tpu.train.state import TrainState, ema_update
 
@@ -177,18 +177,25 @@ def make_jepa_train_step(
     crop_len = cfg.target_length
     total_patches = cfg.total_patches
 
-    def step_fn(state: TrainState, audio: jax.Array, rng: jax.Array):
+    def step_fn(state: TrainState, audio: jax.Array, rng: jax.Array, rir_bank=None):
         key = jax.random.fold_in(rng, state.step)
         k_crop, k_mask = jax.random.split(key)
 
         # --- fused batch prep (reference on_after_batch_transfer) ---
         if scene_cfg is not None:
             batch = audio  # dict batch (see docstring)
+            source_rir, noise_rirs = batch.get("source_rir"), batch.get("noise_rirs")
+            if scene_cfg.with_rir and source_rir is None:
+                # device-resident RIR bank: per-clip int32 rows instead of
+                # re-shipping ~3 MB of f32 RIRs per clip (ops/scenes.py)
+                source_rir, noise_rirs = gather_scene_rirs(
+                    rir_bank, batch["rir_index"]
+                )
             audio = generate_scene(
-                batch["audio"],
-                batch.get("source_rir"),
-                batch.get("noise"),
-                batch.get("noise_rirs"),
+                wire_to_f32(batch["audio"]),
+                source_rir,
+                wire_to_f32(batch.get("noise")),
+                noise_rirs,
                 batch.get("noise_start"),
                 batch.get("noise_length"),
                 batch.get("snr"),
@@ -198,12 +205,11 @@ def make_jepa_train_step(
             )  # (B, C, T_orig)
             if scene_cfg.original_sr != cfg.sample_rate:
                 audio = resample_jax(audio, scene_cfg.original_sr, cfg.sample_rate)
-        if jnp.issubdtype(audio.dtype, jnp.integer):
-            # int16 wire format (data/pipeline.quantize_clip_int16): 4× less
-            # host→device traffic; cast on device. The 1/32767 rescale keeps
-            # pre-norm magnitudes comparable and is itself removed by the
-            # per-crop instance norm below.
-            audio = audio.astype(jnp.float32) * (1.0 / 32767.0)
+        # int16 wire format (data/pipeline.quantize_clip_int16): 4× less
+        # host→device traffic; cast on device. The 1/32767 rescale keeps
+        # pre-norm magnitudes comparable and is itself removed by the
+        # per-crop instance norm below.
+        audio = wire_to_f32(audio)
         if audio.ndim == 2:
             audio = audio[:, None, :]
         crops = random_crops(k_crop, audio, crop_len, nr_samples_per_audio)
