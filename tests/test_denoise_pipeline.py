@@ -146,10 +146,11 @@ def test_bank_and_int16_wire(tmp_path):
         rir_bank_size=3,
     )
     try:
-        bank = source.rir_bank()
+        bank = source.scene_bank()
         rir_len = int(sr * 0.1)
         assert bank["source_rir"].shape == (3, 1, rir_len)
         assert bank["noise_rirs"].shape == (3, 2, 1, rir_len)
+        assert "noise" not in bank  # noise bank not requested here
         batch = next(
             denoise_batches(source, batch_size=2, refresh_rirs_per_batch=1)
         )
@@ -162,9 +163,11 @@ def test_bank_and_int16_wire(tmp_path):
     assert batch["rir_index"].shape == (2,)
     assert all(0 <= i < 3 for i in batch["rir_index"])
     refresh = batch["rir_bank_refresh"]
-    assert refresh["slots"].shape == (1,) and refresh["slots"][0] == 0  # ring ptr
-    assert refresh["rows"]["source_rir"].shape == (1, 1, rir_len)
-    assert refresh["rows"]["noise_rirs"].shape == (1, 2, 1, rir_len)
+    slots, rows = refresh["slots"], refresh["rows"]
+    assert slots["source_rir"].shape == (1,) and slots["source_rir"][0] == 0
+    assert (slots["noise_rirs"] == slots["source_rir"]).all()  # shared ring
+    assert rows["source_rir"].shape == (1, 1, rir_len)
+    assert rows["noise_rirs"].shape == (1, 2, 1, rir_len)
     # int16 wire zero-preserves the placed-noise silence
     for i in range(2):
         start = int(batch["noise_start"][i])
@@ -173,3 +176,59 @@ def test_bank_and_int16_wire(tmp_path):
             [batch["noise"][i][:start], batch["noise"][i][start + length:]]
         )
         assert (outside == 0).all()
+
+
+def test_noise_bank(tmp_path):
+    """noise_bank_size stores FADED rows; samples then carry noise_index +
+    placement metadata instead of the placed buffer, and the refresh payload
+    carries the noise ring's own slots."""
+    from wavjepa_tpu.data.denoise_pipeline import (
+        DenoiseSampleSource,
+        denoise_batches,
+    )
+
+    sr = 3200
+    rng = np.random.default_rng(3)
+    audio_shard = tmp_path / "audio-0000.tar"
+    _write_flac_like_wav_tar(
+        audio_shard, [0.3 * rng.standard_normal(sr * 4) for _ in range(6)], sr
+    )
+    noise_shard = tmp_path / "noise-0000.tar"
+    _write_npy_tar(
+        noise_shard,
+        [0.1 * rng.standard_normal(sr * 2).astype(np.float32) for _ in range(4)],
+    )
+
+    source = DenoiseSampleSource(
+        str(audio_shard),
+        noise_pattern=str(noise_shard),
+        sr=sr,
+        target_seconds=3.0,
+        num_workers=1,
+        transfer_dtype="int16",
+        noise_bank_size=3,
+    )
+    clip_len = sr * 3
+    try:
+        bank = source.scene_bank()
+        assert set(bank) == {"noise"}
+        assert bank["noise"].shape == (3, clip_len)
+        assert bank["noise"].dtype == np.int16  # int16 wire
+        batch = next(
+            denoise_batches(source, batch_size=2, refresh_rirs_per_batch=2)
+        )
+    finally:
+        source.stop()
+
+    assert "noise" not in batch
+    assert batch["noise_index"].shape == (2,)
+    assert all(0 <= i < 3 for i in batch["noise_index"])
+    # start + length stays inside the clip (the device shift relies on it)
+    for i in range(2):
+        n_len = int(batch["noise_length"][i])
+        assert 0 < n_len <= clip_len
+        assert 0 <= int(batch["noise_start"][i]) <= clip_len - n_len
+    refresh = batch["rir_bank_refresh"]
+    np.testing.assert_array_equal(refresh["slots"]["noise"], [0, 1])  # own ring
+    assert refresh["rows"]["noise"].shape == (2, clip_len)
+    assert refresh["rows"]["noise"].dtype == np.int16

@@ -420,7 +420,9 @@ class TestRIRBankAndWire:
             "noise_rirs": jnp.full((2, 2, 1, 8), 2.0, jnp.float32),
         }
         slots = jnp.asarray([3, 1], jnp.int32)
-        new = update_rir_bank(bank, slots, rows)
+        new = update_rir_bank(
+            bank, {"source_rir": slots, "noise_rirs": slots}, rows
+        )
         got = jax.tree.map(np.asarray, new)
         np.testing.assert_array_equal(got["source_rir"][3], np.ones((1, 8)))
         np.testing.assert_array_equal(got["source_rir"][1], np.ones((1, 8)))
@@ -429,3 +431,74 @@ class TestRIRBankAndWire:
         np.testing.assert_array_equal(
             got["noise_rirs"][3], np.full((2, 1, 8), 2.0)
         )
+
+    def test_update_bank_partial_keys_and_int16_rows(self):
+        """A refresh may touch only one bank (its own ring slots); int16
+        noise rows are dequantized on device (gain cancels in the SNR mix)."""
+        from wavjepa_tpu.ops.scenes import update_rir_bank
+
+        bank = {
+            "source_rir": jnp.zeros((3, 1, 4), jnp.float32),
+            "noise": jnp.zeros((2, 6), jnp.float32),
+        }
+        rows16 = np.asarray([[32767, -16384, 0, 1, 0, 0]], np.int16)
+        new = update_rir_bank(
+            bank,
+            {"noise": jnp.asarray([1], jnp.int32)},
+            {"noise": jnp.asarray(rows16)},
+        )
+        got = jax.tree.map(np.asarray, new)
+        np.testing.assert_array_equal(got["source_rir"], np.zeros((3, 1, 4)))
+        np.testing.assert_allclose(
+            got["noise"][1], rows16[0].astype(np.float32) / 32767.0
+        )
+        np.testing.assert_array_equal(got["noise"][0], np.zeros(6))
+
+    def test_place_noise_from_bank_matches_host(self):
+        """Device placement of a faded bank row must reproduce the host's
+        placed buffer exactly (the row is the fade_noise output left-aligned;
+        placement is a pure shift; zeros wrap harmlessly)."""
+        from wavjepa_tpu.data.denoise_pipeline import fade_noise
+        from wavjepa_tpu.ops.scenes import place_noise_from_bank
+
+        rng = np.random.default_rng(5)
+        sr, clip_len = 1000, 2000
+        raw = rng.standard_normal(1200).astype(np.float32)
+        faded = fade_noise(raw, clip_len, sr, rng)
+        n_len = faded.shape[-1]
+        row = np.zeros((clip_len,), np.float32)
+        row[:n_len] = faded
+        start = 317
+        host_placed = np.zeros((clip_len,), np.float32)
+        host_placed[start : start + n_len] = faded
+
+        rows = jnp.asarray(np.stack([np.zeros_like(row), row]))
+        got = place_noise_from_bank(
+            rows, jnp.asarray([1], jnp.int32), jnp.asarray([start], jnp.int32)
+        )
+        np.testing.assert_array_equal(np.asarray(got[0]), host_placed)
+
+    def test_noise_bank_step_matches_inline(self):
+        """noise_index + on-device placement must reproduce the inline
+        placed-noise step exactly (same f32 row content)."""
+        dcfg, tparams, state, step = _tiny_denoise_setup()
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in next(
+                iter(
+                    synthetic_denoise_batches(
+                        2, scene_len=dcfg.scene_length, rir_len=320, max_noise=2,
+                        seed=8,
+                    )
+                )
+            ).items()
+        }
+        # bank rows = the batch's placed noise shifted back to the left edge
+        # (synthetic batches place at start=0 with full length, so the rows
+        # ARE the buffers and start=0)
+        bank = {"noise": batch["noise"]}
+        banked = {k: v for k, v in batch.items() if k != "noise"}
+        banked["noise_index"] = jnp.asarray([0, 1], jnp.int32)
+        _, m_inline = step(state, tparams, batch, jax.random.PRNGKey(9))
+        _, m_banked = step(state, tparams, banked, jax.random.PRNGKey(9), bank)
+        assert float(m_inline["loss"]) == float(m_banked["loss"])

@@ -176,12 +176,20 @@ class DenoiseSampleSource:
         — per-crop instance norm for the source, the segmental-SNR
         renormalization for the noise (ops/scenes.wire_to_f32).
       * ``rir_bank_size=N`` pre-pulls N RIR stacks into a host bank the
-        training loop ships to the device ONCE (`rir_bank()`); samples then
+        training loop ships to the device ONCE (`scene_bank()`); samples then
         carry a 4-byte ``rir_index`` instead of ~0.5-3 MB of f32 RIRs.
         ``next_bank_refresh(k)`` streams k fresh stacks per batch into
         ring-buffer slots so a long run still tracks the side-channel
         distribution (at batch 32 / k=1 each stack serves ~32·N/N = 32
         clips before eviction, vs 1 in the reference's ship-every-clip).
+      * ``noise_bank_size=N`` does the same for the noise bed: bank rows
+        store the FADED noise (fade_noise output, left-aligned, zero-padded
+        to clip_len) so per-use placement is a pure on-device shift
+        (ops/scenes.place_noise_from_bank); samples carry ``noise_index`` +
+        ``noise_start`` instead of the 0.6-1.3 MB placed buffer. The
+        per-use randomness that survives is the placement offset and the
+        SNR (the crop/fade freezes per bank row until its ring refresh —
+        same trade as the RIR bank).
     """
 
     def __init__(
@@ -202,6 +210,7 @@ class DenoiseSampleSource:
         backend: str = "process",
         transfer_dtype: str = "float32",  # "float32" | "int16"
         rir_bank_size: int = 0,  # 0 = ship RIRs inline with every sample
+        noise_bank_size: int = 0,  # 0 = ship the placed noise buffer inline
     ):
         self.sr = sr
         self.clip_len = int(sr * target_seconds)
@@ -241,6 +250,11 @@ class DenoiseSampleSource:
         self._bank_ptr = 0
         if self.with_rir and rir_bank_size > 0:
             self._build_bank(rir_bank_size)
+        self._noise_bank: Optional[np.ndarray] = None
+        self._noise_row_len: Optional[np.ndarray] = None
+        self._noise_ptr = 0
+        if self.with_noise and noise_bank_size > 0:
+            self._build_noise_bank(noise_bank_size)
 
     def _stack_rows(self, rir_stack: np.ndarray) -> tuple:
         """One side-channel stack → (source (C, rir_len), noise
@@ -270,28 +284,73 @@ class DenoiseSampleSource:
         if self.with_noise:
             self._bank["noise_rirs"] = np.stack(noises)
 
-    def rir_bank(self) -> Optional[dict[str, np.ndarray]]:
-        """The host copy of the bank ({"source_rir": (N, C, L)
-        [, "noise_rirs": (N, M, C, L)]}) — device_put it once, replicated."""
-        return self._bank
+    def _faded_noise_row(self) -> tuple[np.ndarray, int]:
+        """Pull one noise sample and run the host fade (fade_noise) exactly
+        as the inline path does; return (row zero-padded to clip_len,
+        active length)."""
+        raw = _rms_normalize(np.ravel(next(self.noise)))
+        faded = fade_noise(raw, self.clip_len, self.sr, self.rng)
+        n_len = min(faded.shape[-1], self.clip_len)
+        row = np.zeros((self.clip_len,), np.float32)
+        row[:n_len] = faded[:n_len]
+        if self.transfer_dtype == "int16":
+            from wavjepa_tpu.data.pipeline import quantize_clip_int16
 
-    def next_bank_refresh(self, k: int) -> dict[str, np.ndarray]:
-        """Pull k fresh stacks and assign them ring-buffer slots. Returns
-        {"slots": (k,) i32, "rows": {bank keys with leading (k,)}} for
-        ops/scenes.update_rir_bank. The host copy is NOT kept in sync — only
-        slot assignment lives here; content goes straight to the device."""
-        n = self._bank["source_rir"].shape[0]
-        slots, srcs, noises = [], [], []
-        for _ in range(k):
-            src, nr = self._stack_rows(next(self.rirs))
-            slots.append(self._bank_ptr)
-            self._bank_ptr = (self._bank_ptr + 1) % n
-            srcs.append(src)
-            noises.append(nr)
-        rows = {"source_rir": np.stack(srcs)}
-        if self.with_noise:
-            rows["noise_rirs"] = np.stack(noises)
-        return {"slots": np.asarray(slots, np.int32), "rows": rows}
+            row = quantize_clip_int16(row)
+        return row, n_len
+
+    def _build_noise_bank(self, n: int) -> None:
+        rows, lens = [], []
+        for _ in range(n):
+            row, n_len = self._faded_noise_row()
+            rows.append(row)
+            lens.append(n_len)
+        self._noise_bank = np.stack(rows)
+        self._noise_row_len = np.asarray(lens, np.int64)
+
+    def scene_bank(self) -> Optional[dict[str, np.ndarray]]:
+        """The host copy of the device-resident scene bank
+        ({"source_rir": (N, C, L)[, "noise_rirs": (N, M, C, L)]
+        [, "noise": (Nn, clip_len)]}) — device_put it once, replicated."""
+        bank = dict(self._bank) if self._bank is not None else {}
+        if self._noise_bank is not None:
+            bank["noise"] = self._noise_bank
+        return bank or None
+
+    def next_bank_refresh(self, k: int) -> dict[str, dict[str, np.ndarray]]:
+        """Pull k fresh stacks/rows per active bank and assign them
+        ring-buffer slots. Returns {"slots": {key: (k,) i32},
+        "rows": {key: (k, ...)}} for ops/scenes.update_rir_bank. The host
+        copy is NOT kept in sync — only slot assignment and row lengths live
+        here; content goes straight to the device."""
+        slots: dict[str, np.ndarray] = {}
+        rows: dict[str, np.ndarray] = {}
+        if self._bank is not None:
+            n = self._bank["source_rir"].shape[0]
+            rir_slots, srcs, noises = [], [], []
+            for _ in range(k):
+                src, nr = self._stack_rows(next(self.rirs))
+                rir_slots.append(self._bank_ptr)
+                self._bank_ptr = (self._bank_ptr + 1) % n
+                srcs.append(src)
+                noises.append(nr)
+            slots["source_rir"] = np.asarray(rir_slots, np.int32)
+            rows["source_rir"] = np.stack(srcs)
+            if self.with_noise:
+                slots["noise_rirs"] = slots["source_rir"]
+                rows["noise_rirs"] = np.stack(noises)
+        if self._noise_bank is not None:
+            nn = self._noise_bank.shape[0]
+            n_slots, n_rows = [], []
+            for _ in range(k):
+                row, n_len = self._faded_noise_row()
+                n_slots.append(self._noise_ptr)
+                self._noise_row_len[self._noise_ptr] = n_len
+                self._noise_ptr = (self._noise_ptr + 1) % nn
+                n_rows.append(row)
+            slots["noise"] = np.asarray(n_slots, np.int32)
+            rows["noise"] = np.stack(n_rows)
+        return {"slots": slots, "rows": rows}
 
     def stop(self):
         self.audio.stop()
@@ -326,18 +385,28 @@ class DenoiseSampleSource:
                     if self.with_noise:
                         sample["noise_rirs"] = nr  # (max_noise, C, rir_len)
             if self.with_noise:
-                raw = next(self.noise)
-                raw = _rms_normalize(np.ravel(raw))
-                faded = fade_noise(raw, self.clip_len, self.sr, self.rng)
-                n_len = faded.shape[-1]
-                start = 0
-                placed = np.zeros((self.clip_len,), np.float32)
-                if self.clip_len > n_len:
-                    start = int(self.rng.integers(0, self.clip_len - n_len))
-                placed[start : start + n_len] = faded[:self.clip_len]
-                sample["noise"] = (
-                    quantize_clip_int16(placed) if wire16 else placed
-                )
+                if self._noise_bank is not None:
+                    j = int(self.rng.integers(self._noise_bank.shape[0]))
+                    n_len = int(self._noise_row_len[j])
+                    start = (
+                        int(self.rng.integers(0, self.clip_len - n_len))
+                        if self.clip_len > n_len
+                        else 0
+                    )
+                    sample["noise_index"] = np.int32(j)
+                else:
+                    raw = next(self.noise)
+                    raw = _rms_normalize(np.ravel(raw))
+                    faded = fade_noise(raw, self.clip_len, self.sr, self.rng)
+                    n_len = min(faded.shape[-1], self.clip_len)
+                    start = 0
+                    placed = np.zeros((self.clip_len,), np.float32)
+                    if self.clip_len > n_len:
+                        start = int(self.rng.integers(0, self.clip_len - n_len))
+                    placed[start : start + n_len] = faded[:n_len]
+                    sample["noise"] = (
+                        quantize_clip_int16(placed) if wire16 else placed
+                    )
                 sample["noise_start"] = np.int32(start)
                 sample["noise_length"] = np.int32(n_len)
                 sample["snr"] = np.float32(
@@ -361,7 +430,7 @@ def denoise_batches(
     while True:
         samples = [next(it) for _ in range(batch_size)]
         batch = {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-        if refresh_rirs_per_batch > 0 and source.rir_bank() is not None:
+        if refresh_rirs_per_batch > 0 and source.scene_bank() is not None:
             batch["rir_bank_refresh"] = source.next_bank_refresh(
                 refresh_rirs_per_batch
             )

@@ -57,14 +57,42 @@ def gather_scene_rirs(rir_bank: dict, idx: jax.Array) -> tuple:
     return src, noise
 
 
+def place_noise_from_bank(
+    noise_rows: jax.Array, idx: jax.Array, start: jax.Array
+) -> jax.Array:
+    """Per-clip placed-noise buffers from the device noise bank.
+
+    Bank rows store the already-faded noise left-aligned and zero-padded to
+    the clip length (data/denoise_pipeline.py builds them with the exact
+    host fade_noise output), so per-use placement is a pure shift: the host
+    ships a 4-byte ``noise_start`` instead of a ~0.6-1.3 MB placed buffer.
+    ``jnp.roll`` is exact here because start + active_length <= clip_len (the
+    host draws start from that range) — only padding zeros wrap around.
+
+    noise_rows: (N, T); idx, start: (B,) i32. Returns (B, T) f32.
+    """
+    rows = wire_to_f32(jnp.take(noise_rows, idx, axis=0))
+    return jax.vmap(jnp.roll)(rows, start)
+
+
 @partial(jax.jit, donate_argnums=(0,))
-def update_rir_bank(rir_bank: dict, slots: jax.Array, rows: dict) -> dict:
-    """Scatter freshly-streamed RIR stacks into the device bank (in place via
-    donation). ``rows`` carries the same keys as the bank with a leading
-    (k,) axis; ``slots`` the (k,) destination indices. Amortized refresh
-    keeps the bank tracking the side-channel stream without re-shipping the
-    whole RIR payload every batch."""
-    return {k: rir_bank[k].at[slots].set(rows[k]) for k in rir_bank}
+def update_rir_bank(rir_bank: dict, slots: dict, rows: dict) -> dict:
+    """Scatter freshly-streamed side-channel rows into the device scene bank
+    (in place via donation). ``rows`` carries a subset of the bank's keys
+    with a leading (k,) axis; ``slots`` the matching (k,) destination
+    indices per key (RIR keys share one ring, the noise bank has its own).
+    int16-wired rows (noise) are dequantized on device — the per-row peak
+    gain cancels in the segmental-SNR mix. Amortized refresh keeps the bank
+    tracking the side-channel stream without re-shipping the whole payload
+    every batch."""
+    return {
+        k: (
+            rir_bank[k].at[slots[k]].set(wire_to_f32(rows[k]))
+            if k in rows
+            else rir_bank[k]
+        )
+        for k in rir_bank
+    }
 
 
 def _fft_len(n: int) -> int:

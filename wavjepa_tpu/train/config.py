@@ -57,12 +57,14 @@ class DataConfig:
     # (data/pipeline.quantize_clip_int16; measured: the f32 batch transfer
     # alone cost a full step time on the 40 MB/s axon link, PERF.md r4)
     transfer_dtype: str = "int16"
-    # device-resident RIR bank for denoise/Nat ingest (VERDICT r4 #1): ship
-    # rir_bank_size stacks once, then 4-byte per-clip indices instead of
-    # ~0.5-3 MB of f32 RIRs per clip; refresh rir_refresh_per_batch fresh
-    # stacks per batch (ring buffer) so long runs track the side-channel
-    # stream. 0 disables (RIRs ship inline with every sample).
+    # device-resident scene banks for denoise/Nat ingest (VERDICT r4 #1):
+    # ship rir_bank_size RIR stacks / noise_bank_size faded-noise rows once,
+    # then 4-byte per-clip indices instead of ~0.5-3 MB of f32 RIRs and the
+    # 0.6-1.3 MB placed-noise buffer per clip; refresh rir_refresh_per_batch
+    # fresh stacks/rows per batch per bank (ring buffers) so long runs track
+    # the side-channel streams. 0 disables (payloads ship inline).
     rir_bank_size: int = 64
+    noise_bank_size: int = 64
     rir_refresh_per_batch: int = 1
     synthetic: bool = False  # random-audio source for smoke tests/benchmarks
 

@@ -143,6 +143,7 @@ def build_denoise_data_iterator(
         seed=cfg.trainer.seed,
         transfer_dtype=cfg.data.transfer_dtype,
         rir_bank_size=cfg.data.rir_bank_size if with_rir else 0,
+        noise_bank_size=cfg.data.noise_bank_size if with_noise else 0,
     )
     return (
         denoise_batches(
@@ -150,7 +151,7 @@ def build_denoise_data_iterator(
             cfg.trainer.batch_size,
             refresh_rirs_per_batch=cfg.data.rir_refresh_per_batch,
         ),
-        source.rir_bank(),
+        source.scene_bank(),
     )
 
 

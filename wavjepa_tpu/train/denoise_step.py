@@ -37,7 +37,12 @@ from wavjepa_tpu.models.denoiser import (
 )
 from wavjepa_tpu.models.jepa import JEPA
 from wavjepa_tpu.ops.audio import instance_normalize, random_crops
-from wavjepa_tpu.ops.scenes import gather_scene_rirs, generate_scene, wire_to_f32
+from wavjepa_tpu.ops.scenes import (
+    gather_scene_rirs,
+    generate_scene,
+    place_noise_from_bank,
+    wire_to_f32,
+)
 from wavjepa_tpu.train.schedule import warmup_cosine_schedule
 
 
@@ -125,12 +130,18 @@ def make_denoise_train_step(
         source_rir, noise_rirs = batch.get("source_rir"), batch.get("noise_rirs")
         if with_rir and source_rir is None:
             source_rir, noise_rirs = gather_scene_rirs(rir_bank, batch["rir_index"])
+        noise = wire_to_f32(batch.get("noise"))
+        if with_noise and noise is None:
+            # device noise bank: faded rows placed by a pure shift
+            noise = place_noise_from_bank(
+                rir_bank["noise"], batch["noise_index"], batch["noise_start"]
+            )
 
         # --- scene synthesis at 32 kHz (ops/scenes.py) ---
         noisy = generate_scene(
             audio,
             source_rir,
-            wire_to_f32(batch.get("noise")),
+            noise,
             noise_rirs,
             batch.get("noise_start"),
             batch.get("noise_length"),

@@ -38,7 +38,12 @@ from wavjepa_tpu.data.resample import resample_jax
 from wavjepa_tpu.masking import TimeInverseMaskConfig, time_inverse_block_masks
 from wavjepa_tpu.models.jepa import JEPA, masked_prediction_loss
 from wavjepa_tpu.ops.audio import instance_normalize, random_crops
-from wavjepa_tpu.ops.scenes import gather_scene_rirs, generate_scene, wire_to_f32
+from wavjepa_tpu.ops.scenes import (
+    gather_scene_rirs,
+    generate_scene,
+    place_noise_from_bank,
+    wire_to_f32,
+)
 from wavjepa_tpu.train.schedule import ema_decay_schedule, warmup_cosine_schedule
 from wavjepa_tpu.train.state import TrainState, ema_update
 
@@ -191,10 +196,16 @@ def make_jepa_train_step(
                 source_rir, noise_rirs = gather_scene_rirs(
                     rir_bank, batch["rir_index"]
                 )
+            noise = wire_to_f32(batch.get("noise"))
+            if scene_cfg.with_noise and noise is None:
+                # device noise bank: faded rows placed by a pure shift
+                noise = place_noise_from_bank(
+                    rir_bank["noise"], batch["noise_index"], batch["noise_start"]
+                )
             audio = generate_scene(
                 wire_to_f32(batch["audio"]),
                 source_rir,
-                wire_to_f32(batch.get("noise")),
+                noise,
                 noise_rirs,
                 batch.get("noise_start"),
                 batch.get("noise_length"),
