@@ -57,6 +57,46 @@ def build_npy_shards(root: Path, name: str, arrays) -> str:
     return str(root / f"{name}-{{0000..{len(arrays) - 1:04d}}}.tar")
 
 
+def build_scene_shards(
+    root: Path,
+    sr: int = 32000,
+    n_channels: int = 1,
+    n_audio_shards: int = 6,
+    clips_per_shard: int = 24,
+    n_rir_stacks: int = 24,
+    n_noises: int = 12,
+    rir_seconds: float = 2.0,
+    max_noise: int = 5,
+) -> tuple[str, str, str]:
+    """Synthetic denoise/Nat ingest corpus: 10-s clean wav shards at ``sr``,
+    RIR-stack npy shards ((1+max_noise, C, L) exponential-decay responses —
+    the reference RIRDataManager's room stacks), and noise npy shards
+    (8-s beds). Returns (audio_pattern, rir_pattern, noise_pattern)."""
+    rng = np.random.default_rng(1)
+    audio_pattern = build_shards(
+        root, n_shards=n_audio_shards, clips_per_shard=clips_per_shard, sr=sr
+    )
+    l = int(sr * rir_seconds)
+    t = np.arange(l, dtype=np.float32) / sr
+    stacks = []
+    for _ in range(n_rir_stacks):
+        rt60 = rng.uniform(0.2, 0.9)
+        env = np.exp(-6.9 * t / rt60)
+        stack = (
+            rng.standard_normal((1 + max_noise, n_channels, l)).astype(np.float32)
+            * env
+        )
+        stack[..., 0] = 1.0  # direct path
+        stacks.append(stack)
+    rir_pattern = build_npy_shards(root, "rirs", [stacks[:12], stacks[12:]])
+    noises = [
+        (0.1 * rng.standard_normal(int(sr * 8.0))).astype(np.float32)
+        for _ in range(n_noises)
+    ]
+    noise_pattern = build_npy_shards(root, "noise", [noises])
+    return audio_pattern, rir_pattern, noise_pattern
+
+
 def bench_ssl_ingest() -> dict:
     from wavjepa_tpu.data.pipeline import ShardAudioSource
 

@@ -81,13 +81,20 @@ def update_rir_bank(rir_bank: dict, slots: dict, rows: dict) -> dict:
     (in place via donation). ``rows`` carries a subset of the bank's keys
     with a leading (k,) axis; ``slots`` the matching (k,) destination
     indices per key (RIR keys share one ring, the noise bank has its own).
-    int16-wired rows (noise) are dequantized on device — the per-row peak
-    gain cancels in the segmental-SNR mix. Amortized refresh keeps the bank
-    tracking the side-channel stream without re-shipping the whole payload
-    every batch."""
+    int16-wired rows scatter into an int16-resident bank as-is (the bank
+    dequantizes at gather time, place_noise_from_bank) and into an f32 bank
+    via wire_to_f32 — either way the per-row peak gain cancels in the
+    segmental-SNR mix. Amortized refresh keeps the bank tracking the
+    side-channel stream without re-shipping the whole payload every batch."""
+
+    def coerce(bank_arr, rows_arr):
+        if bank_arr.dtype == rows_arr.dtype:
+            return rows_arr
+        return wire_to_f32(rows_arr).astype(bank_arr.dtype)
+
     return {
         k: (
-            rir_bank[k].at[slots[k]].set(wire_to_f32(rows[k]))
+            rir_bank[k].at[slots[k]].set(coerce(rir_bank[k], rows[k]))
             if k in rows
             else rir_bank[k]
         )
