@@ -31,7 +31,10 @@ SECONDS=120, BENCH_CLIPS=32, WIRE=int16|f32 (default int16 — the shipped
 config; f32 reproduces the round-4 transfer-bound measurement: the axon
 host→device link sustains ~40 MB/s, so a 32-clip f32 batch costs ~490 ms ≈
 one whole SSL train step), BANKS=1|0 (denoise/nat: device scene banks on/off),
-RIR_BANK/NOISE_BANK (bank sizes, default 64).
+RIR_BANK/NOISE_BANK (bank sizes, default 64), PREFETCH=N (device prefetch
+queue depth, default 2), STEP_LOG=path (write per-step wall-clock
+timestamps as jsonl — separates steady-state rate from the buffer-drain
+transient that flatters short runs).
 """
 
 import math
@@ -78,6 +81,8 @@ def main_scenes(mode: str):
     banks = os.environ.get("BANKS", "1") != "0"
     rir_bank_n = int(os.environ.get("RIR_BANK", "64"))
     noise_bank_n = int(os.environ.get("NOISE_BANK", "64"))
+    prefetch_n = int(os.environ.get("PREFETCH", "2"))
+    step_log = os.environ.get("STEP_LOG")
 
     n_chips = len(jax.devices())
     mesh = make_mesh(n_chips)
@@ -190,7 +195,7 @@ def main_scenes(mode: str):
             batches = denoise_batches(
                 source, batch_clips, refresh_rirs_per_batch=1 if banks else 0
             )
-            device_iter = prefetch_to_device(batches, mesh)
+            device_iter = prefetch_to_device(batches, mesh, size=prefetch_n)
             key = jax.random.PRNGKey(1)
 
             def one_step(state, bank):
@@ -207,16 +212,24 @@ def main_scenes(mode: str):
                 float(metrics["loss"])
 
             iters = 0
+            marks = []  # (iters, wall_s) at each fetch-closed point
             t0 = time.perf_counter()
             while True:
                 state, bank, metrics = one_step(state, bank)
                 iters += 1
                 if iters % 5 == 0:
                     float(metrics["loss"])
-                    if time.perf_counter() - t0 >= run_seconds:
+                    marks.append((iters, time.perf_counter() - t0))
+                    if marks[-1][1] >= run_seconds:
                         break
             loss = float(metrics["loss"])
             dt = time.perf_counter() - t0
+            if step_log:
+                import json as _json
+
+                with open(step_log, "w") as f:
+                    for it, ts in marks:
+                        f.write(_json.dumps({"step": it, "t": round(ts, 3)}) + "\n")
         finally:
             source.stop()
 
