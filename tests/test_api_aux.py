@@ -297,3 +297,56 @@ class TestChunkPaddingReferenceParity:
             # duration is cur/sr, not `seconds` (int() truncation above)
             step = cur / cfg.sample_rate / cut * 1000.0
             np.testing.assert_allclose(ts[0], step * np.arange(cut), rtol=1e-6)
+
+
+class TestWholeClipAttnImplSelection:
+    """load_model resolves attn_impl='auto' → 'pallas' for long-T
+    (whole-clip) inference on accelerator backends only (api/runtime.py):
+    the fused Pallas core keeps the (B, H, T, T) score block VMEM-resident;
+    CPU hosts and the windowed T=200 contract keep the einsum path."""
+
+    def _tiny(self, process_seconds):
+        from wavjepa_tpu.models.jepa import JEPAConfig
+
+        return JEPAConfig(
+            conv_spec=((16, 10, 5), (16, 3, 2)),
+            encoder_layers=1,
+            encoder_dim=32,
+            encoder_heads=4,
+            decoder_layers=1,
+            decoder_dim=16,
+            decoder_heads=4,
+            sample_rate=1600,
+            process_seconds=process_seconds,
+            average_top_k_layers=1,
+        )
+
+    def test_cpu_keeps_einsum_even_for_long_windows(self):
+        from wavjepa_tpu.api.runtime import load_model
+
+        cfg = self._tiny(3.3)  # 528 tokens ≥ the 512 threshold
+        assert cfg.total_patches >= 512
+        rt = load_model("", config=cfg)
+        assert rt.config.attn_impl == "auto"  # resolves to einsum downstream
+
+    def test_tpu_backend_selects_pallas_for_long_windows(self):
+        from wavjepa_tpu.api.runtime import _select_whole_clip_attn
+
+        cfg = _select_whole_clip_attn(self._tiny(3.3), backend="axon")
+        assert cfg.attn_impl == "pallas"
+
+    def test_tpu_backend_keeps_einsum_for_windowed_contract(self):
+        from wavjepa_tpu.api.runtime import _select_whole_clip_attn
+
+        cfg = _select_whole_clip_attn(self._tiny(0.201), backend="axon")
+        assert cfg.attn_impl == "auto"  # 32 tokens: windowed contract
+
+    def test_explicit_attn_impl_is_honored(self):
+        import dataclasses as dc
+
+        from wavjepa_tpu.api.runtime import _select_whole_clip_attn
+
+        cfg = _select_whole_clip_attn(
+            dc.replace(self._tiny(3.3), attn_impl="einsum"), backend="axon"
+        )
+        assert cfg.attn_impl == "einsum"

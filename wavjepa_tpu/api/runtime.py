@@ -209,6 +209,24 @@ class RuntimeJEPA:
 # ------------------------------------------------------------- module contract
 
 
+def _select_whole_clip_attn(config, backend: str):
+    """attn_impl='auto' → 'pallas' for long-T (whole-clip) inference on
+    accelerator backends: the fused Pallas core (ops/flash_attention.py)
+    keeps the (B, H, T, T) score block VMEM-resident instead of
+    materializing it through HBM. At the windowed T=200 HEAR contract the
+    einsum path is measured-equal and stays the default; CPU hosts keep
+    einsum (Pallas would run interpreted there)."""
+    import dataclasses as _dc
+
+    if (
+        config.attn_impl == "auto"
+        and config.total_patches >= 512
+        and backend != "cpu"
+    ):
+        return _dc.replace(config, attn_impl="pallas")
+    return config
+
+
 def load_model(
     model_file_path: str = "",
     config: Optional[JEPAConfig] = None,
@@ -282,6 +300,7 @@ def load_model(
             pos_embed=pos_embed or "time",
             dtype=jnp.bfloat16,
         )
+    config = _select_whole_clip_attn(config, jax.default_backend())
     model = JEPA(config)
     if model_file_path:
         if path.is_dir():  # orbax checkpoint (a TrainState tree or bare params)
